@@ -1,0 +1,109 @@
+"""Simulation configuration.
+
+The reference fixes every parameter at compile time with ``#define``s
+(``ESP32-fluid-simulation.ino:14-41``): ``SCALING 4`` derives the grid
+(``N_ROWS/N_COLS``, ``.ino:36-38``), ``DT (1/30.0f)`` (``.ino:16``), and the
+solver parameters ``iters=10, omega=1.96`` are literals at the call site
+(``.ino:275``).  The TPU-native equivalent is a frozen (hashable) dataclass
+whose fields become *static* arguments of ``jax.jit`` — every distinct config
+compiles one specialized XLA program, exactly like the reference's
+compile-time specialization, but selectable at runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Reference constants (ESP32-fluid-simulation.ino:15-16, 24-26, 36-38).
+REF_SCALING = 4
+REF_SCREEN_HEIGHT = 240
+REF_SCREEN_WIDTH = 320
+REF_N_ROWS = REF_SCREEN_HEIGHT // REF_SCALING + 1  # 61 (incl. lerp endpoint)
+REF_N_COLS = REF_SCREEN_WIDTH // REF_SCALING + 1   # 81
+REF_DT = 1.0 / 30.0
+REF_SOR_ITERS = 10
+REF_SOR_OMEGA = 1.96
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float64": jnp.float64,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation parameters (hashable; feeds ``jax.jit`` specialization).
+
+    ``shape`` is the node-grid shape ``(H, W)`` for 2D or ``(D, H, W)`` for 3D.
+    Axis 0 is the reference's ``i`` axis (bounded by ``dim_x = N_ROWS``) and
+    axis 1 its ``j`` axis (``dim_y = N_COLS``); velocity channel 0 moves along
+    axis 0, channel 1 along axis 1 (see ``vector.h`` / ``advect.h:81``).
+    """
+
+    shape: Tuple[int, ...] = (REF_N_ROWS, REF_N_COLS)
+    dt: float = REF_DT
+    dx: float = 1.0
+    sor_iters: int = REF_SOR_ITERS
+    omega: float = REF_SOR_OMEGA
+    solver: str = "sor"          # sor | jacobi | sor_pallas | multigrid
+    advector: str = "semilag"    # semilag | maccormack
+    vorticity_eps: float = 0.0   # >0 enables vorticity confinement
+    dtype: str = "float32"       # compute dtype for fields
+    color_dtype: str = "float32"  # dye storage dtype (bf16 halves HBM traffic)
+    scaling: int = REF_SCALING   # render upscale factor
+    max_impulses: int = 16       # static impulse-buffer length per step
+    mg_levels: int = 0           # 0 = auto for multigrid solver
+    mg_cycles: int = 2           # V-cycles per projection (multigrid solver)
+
+    def __post_init__(self):
+        if len(self.shape) not in (2, 3):
+            raise ValueError(f"shape must be 2D or 3D, got {self.shape}")
+        if self.solver not in ("sor", "jacobi", "sor_pallas", "multigrid",
+                               "fused_pallas"):
+            raise ValueError(f"unknown solver {self.solver!r}")
+        if self.advector not in ("semilag", "maccormack"):
+            raise ValueError(f"unknown advector {self.advector!r}")
+        if self.dtype not in _DTYPES or self.color_dtype not in _DTYPES:
+            raise ValueError(f"unknown dtype {self.dtype!r}/{self.color_dtype!r}")
+
+    # -- derived -----------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def jdtype(self):
+        return _DTYPES[self.dtype]
+
+    @property
+    def jcolor_dtype(self):
+        return _DTYPES[self.color_dtype]
+
+    @property
+    def render_shape(self) -> Tuple[int, int]:
+        """Pixel shape after upscale: the last node row/col are lerp endpoints
+        only (``.ino:36-38,115``), so output is ``(H-1)*s × (W-1)*s``."""
+        h, w = self.shape[-2], self.shape[-1]
+        s = self.scaling
+        return ((h - 1) * s, (w - 1) * s)
+
+    # -- (de)serialization (the reference's off-device harness kept a
+    #    ``sim_params.json``, ``.gitignore:8``) ---------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimConfig":
+        d = json.loads(s)
+        d["shape"] = tuple(d["shape"])
+        return cls(**d)
+
+
+def reference_config(**overrides) -> SimConfig:
+    """The exact reference workload (BASELINE config 1)."""
+    return SimConfig(**overrides)

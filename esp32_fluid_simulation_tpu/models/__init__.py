@@ -1,0 +1,15 @@
+from .stable_fluids import (
+    init_state,
+    apply_impulses,
+    step,
+    make_step,
+    make_step_with_metrics,
+)
+
+__all__ = [
+    "init_state",
+    "apply_impulses",
+    "step",
+    "make_step",
+    "make_step_with_metrics",
+]

@@ -1,0 +1,153 @@
+"""The flagship model: Stam-style stable-fluids dye bed as one jitted step.
+
+The whole body of the reference's ``loop()`` between its I/O endpoints
+(``.ino:249-289``) is pure array math; here it becomes exactly one
+``@jax.jit`` pure function ``step(state, impulses) -> state``:
+
+  1. self-advect velocity (``.ino:251-256``, no-slip sampling),
+  2. apply the drained drag queue as masked scatter writes (``.ino:258-269``),
+  3. pressure projection: divergence -> RB-SOR -> gradient subtract
+     (``.ino:271-278``),
+  4. advect dye (``.ino:280-282``).
+
+The reference's per-frame heap churn and double-buffer ``SWAP`` vanish: XLA
+buffer donation reuses the state buffers in place.  ``init_state`` matches
+``setup()`` (``.ino:194-246``): zero velocity, angular RGB sectors, two
+sequential in-place triangular blurs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import SimState, Impulses
+from ..ops.advect import advect, advect_maccormack
+from ..ops.fd import divergence, subtract_gradient, vorticity_confinement
+from ..ops.poisson import poisson_solve, poisson_residual
+from ..ops.blur import triangular_blur_inplace
+
+
+def init_color(cfg: SimConfig) -> jax.Array:
+    """Angular RGB sectors around the grid center, then two in-place
+    [1/4,1/2,1/4] blurs (``.ino:203-241``).  Colors are unit-scale floats
+    (the reference's UQ32 fixed point maps uint32 onto [0,1), ``uq32.h``)."""
+    h, w = cfg.shape[-2], cfg.shape[-1]
+    ci, cj = h // 2, w // 2
+    ii = np.arange(h, dtype=np.float32)[:, None]
+    jj = np.arange(w, dtype=np.float32)[None, :]
+    # ``ci - ii`` (not ``-(ii - ci)``): the reference negates an *integer*
+    # zero at the center row (.ino:210), yielding +0.0 and atan2 = +pi on the
+    # left half; float ``-(ii-ci)`` would give -0.0 and -pi there.
+    angle = np.arctan2(ci - ii, jj - cj)
+    red = angle < -np.pi / 3
+    green = (angle >= -np.pi / 3) & (angle < np.pi / 3)
+    blue = ~(red | green)
+    color = np.stack([red, green, blue]).astype(np.float32)  # [3, H, W]
+    if cfg.ndim == 3:
+        color = np.broadcast_to(color[:, None], (3,) + cfg.shape).copy()
+    c = jnp.asarray(color, cfg.jcolor_dtype)
+    # Horizontal (j) pass then vertical (i) pass, both sequential in-place
+    # recurrences (.ino:220-241).
+    c = triangular_blur_inplace(c, axis=c.ndim - 1)
+    c = triangular_blur_inplace(c, axis=c.ndim - 2)
+    return c
+
+
+def init_state(cfg: SimConfig) -> SimState:
+    """Zero velocity + sector dye; matches ``setup()`` (``.ino:194-241``)."""
+    vel = jnp.zeros((cfg.ndim,) + cfg.shape, cfg.jdtype)
+    return SimState(velocity=vel, color=init_color(cfg),
+                    step=jnp.zeros((), jnp.int32))
+
+
+def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
+    """Write drag velocities directly into cells (``.ino:264-269``).
+
+    Sequential fixed-length loop so later impulses overwrite earlier ones at
+    the same cell, exactly like draining the FreeRTOS queue in order.
+    Indices are clamped to the grid; inactive slots write back the old value.
+    """
+    nd = vel.shape[0]
+    shape = vel.shape[1:]
+    k = imp.pos.shape[0]
+
+    def body(n, v):
+        idx = tuple(
+            jnp.clip(imp.pos[n, a], 0, shape[a] - 1) for a in range(nd)
+        )
+        old = v[(slice(None),) + idx]
+        new = jnp.where(imp.active[n], imp.velocity[n].astype(v.dtype), old)
+        return v.at[(slice(None),) + idx].set(new)
+
+    return jax.lax.fori_loop(0, k, body, vel, unroll=True)
+
+
+def _advect_by(cfg: SimConfig):
+    return advect_maccormack if cfg.advector == "maccormack" else advect
+
+
+def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
+    """One simulation step — the pure-functional ``loop()`` (``.ino:249-289``)."""
+    adv = _advect_by(cfg)
+
+    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = apply_impulses(vel, impulses)
+    if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
+        vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
+
+    div = divergence(vel, cfg.dx)
+    p = poisson_solve(div, cfg)
+    vel = subtract_gradient(vel, p, cfg.dx)
+
+    color = adv(state.color, vel, cfg.dt, no_slip=False)
+    color = jnp.clip(color, 0.0, 1.0) if cfg.advector == "semilag" else color
+
+    return SimState(velocity=vel, color=color, step=state.step + 1)
+
+
+def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
+    """Step plus on-device observability (SURVEY §5 metrics subsystem):
+    pre/post-projection divergence extrema, Poisson residual norm, max |v|.
+    All reductions stay on device; fetch lazily."""
+    adv = _advect_by(cfg)
+
+    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = apply_impulses(vel, impulses)
+    if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
+        vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
+
+    div = divergence(vel, cfg.dx)
+    p = poisson_solve(div, cfg)
+    vel = subtract_gradient(vel, p, cfg.dx)
+    div_post = divergence(vel, cfg.dx)
+
+    color = adv(state.color, vel, cfg.dt, no_slip=False)
+    color = jnp.clip(color, 0.0, 1.0) if cfg.advector == "semilag" else color
+
+    res = poisson_residual(p, div, cfg.dx)
+    metrics = {
+        "div_pre_max": jnp.max(jnp.abs(div)),
+        "div_post_max": jnp.max(jnp.abs(div_post)),
+        "poisson_residual_l2": jnp.sqrt(jnp.mean(res * res)),
+        "max_speed": jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=0))),
+        "finite": jnp.all(jnp.isfinite(vel)) & jnp.all(jnp.isfinite(color)),
+    }
+    new_state = SimState(velocity=vel, color=color, step=state.step + 1)
+    return new_state, metrics
+
+
+def make_step(cfg: SimConfig, donate: bool = True):
+    """Jitted step specialized to ``cfg`` with state-buffer donation (the
+    TPU-native replacement for the reference's SWAP double buffering)."""
+    fn = functools.partial(step, cfg=cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_step_with_metrics(cfg: SimConfig, donate: bool = True):
+    fn = functools.partial(step_with_metrics, cfg=cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
