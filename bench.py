@@ -1,0 +1,111 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: end-to-end sim+render frames/sec at 4096^2 on one chip
+(the BASELINE north star; the reference achieves 28-30 FPS at 80x60 on an
+ESP32, which is the ``vs_baseline`` denominator).  Extra sub-metrics ride in
+the same JSON object: reference-grid steps/sec, us per RB-SOR sweep, and the
+config-2/4 workloads.
+
+Timing methodology: this machine's TPU is reached through a tunnel whose
+``block_until_ready`` does not actually block, so every measurement chains N
+dependent iterations and then fetches a scalar slice (forcing execution),
+differencing against a 1-iteration run where sensible.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0][..., :1, :1]))
+
+
+def _time_chain(step1, state0, n):
+    """Wall time for n chained iterations, execution forced by a tiny fetch."""
+    st = state0
+    t0 = time.time()
+    for _ in range(n):
+        st = step1(st)
+    _sync(st)
+    return time.time() - t0
+
+
+def bench_step_fps(cfg, n=20, render=False, render_s=1):
+    from esp32_fluid_simulation_tpu import (Impulses, init_state, make_step,
+                                            render_rgb565)
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+
+    state = init_state(cfg)
+    fn = make_step(cfg, donate=False)
+    imp = scripted_swirl(cfg, 0)
+
+    def one(st):
+        st = fn(st, imp)
+        if render:
+            frame = render_rgb565(st.color, s=render_s)
+            # fold the frame into the dependency chain cheaply
+            st = st._replace(step=st.step + (frame[0, 0] > jnp.uint16(0)))
+        return st
+
+    one(state)  # compile
+    _sync(state)
+    t1 = _time_chain(one, state, 1)
+    tn = _time_chain(one, state, n)
+    per = max((tn - t1) / (n - 1), 1e-9)
+    return 1.0 / per
+
+
+def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
+    from esp32_fluid_simulation_tpu.ops.poisson import sor_solve
+
+    d = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    fn = jax.jit(lambda x: sor_solve(x, 1.0, iters, 1.96))
+    _sync(fn(d))
+    t0 = time.time()
+    cur = d
+    for _ in range(n):
+        cur = fn(cur)
+    _sync(cur)
+    per_solve = (time.time() - t0) / n
+    return per_solve / iters * 1e6
+
+
+def main():
+    from esp32_fluid_simulation_tpu import SimConfig
+
+    results = {}
+
+    # Reference workload (BASELINE config 1): 61x81 + 4x upscale to 320x240.
+    ref_cfg = SimConfig()
+    results["ref_80x60_fps"] = bench_step_fps(ref_cfg, n=50, render=True,
+                                              render_s=4)
+
+    # North star: 4096^2 sim+render on one chip.
+    big_cfg = SimConfig(shape=(4096, 4096), scaling=1)
+    fps_4k = bench_step_fps(big_cfg, n=10, render=True, render_s=1)
+    results["fps_4096"] = fps_4k
+
+    # Config 2 flavor: 512^2 with vorticity confinement.
+    results["fps_512_vort"] = bench_step_fps(
+        SimConfig(shape=(512, 512), vorticity_eps=2.0), n=20)
+
+    results["us_per_sor_sweep_4096"] = bench_sor_sweep_us()
+
+    out = {
+        "metric": "sim+render FPS at 4096^2 (one chip)",
+        "value": round(fps_4k, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps_4k / 30.0, 3),  # reference: 28-30 FPS
+        "detail": {k: round(v, 3) for k, v in results.items()},
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,19 @@ def sample_linear(
     return val, cmin, cmax
 
 
+def noslip_axis_factor(raw_coord: jax.Array, n: int):
+    """The per-axis no-slip overshoot discount (``advect.h:62-70``), from the
+    *unclamped* backtrace coordinate against a domain of ``n`` nodes."""
+    under = raw_coord < 0
+    over = raw_coord >= n - 1
+    overshoot = jnp.where(under, -raw_coord, raw_coord - (n - 1))
+    return jnp.where(
+        under | over,
+        jnp.where(overshoot < 0.5, 1.0 - 2.0 * overshoot, 0.0),
+        1.0,
+    )
+
+
 def _backtrace_coords(vel: jax.Array, dt, sign=1.0):
     """source_k = idx_k - sign * vel_k * dt  (advect.h:81)."""
     nd = vel.shape[0]

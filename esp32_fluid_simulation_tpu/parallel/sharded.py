@@ -1,0 +1,222 @@
+"""The sharded simulation step: the whole of ``loop()`` (``.ino:249-289``)
+under ``shard_map`` over a ``(batch, x, y)`` device mesh.
+
+Every field is partitioned over the trailing two spatial axes; each stencil
+pass exchanges exactly the strips it needs over ICI (``parallel.halo``), and
+the boundary-condition kernels fire only on the shards that own a global
+edge — the distributed rendition of the reference's interior-fast /
+boundary-safe dispatch (``operations.h:11-38``).  Collective budget per step:
+
+* advection: one ``max_disp+1``-wide exchange per axis, shared by the
+  velocity and dye gathers (the velocity field used for both backtraces is
+  the same);
+* projection: 1-wide exchange per axis per SOR half-sweep (the freshly
+  updated opposite color must be visible before the next half-sweep —
+  ``poisson.cpp``'s sequential color semantics, preserved exactly);
+* divergence/gradient: 1-wide exchange per axis.
+
+Numerically identical (up to float reassociation) to the single-device step:
+``tests/test_sharded.py`` pins sharded == unsharded on an 8-virtual-device
+CPU mesh (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax import shard_map
+
+from ..config import SimConfig
+from ..state import SimState, Impulses
+from ..ops.advect import sample_linear, noslip_axis_factor
+from ..ops.poisson import _neg_inv_diag  # noqa: F401  (single-dev variant)
+from .halo import exchange_halo
+from .topology import BATCH_AXIS, X_AXIS, Y_AXIS
+
+
+def sharded_state_sharding(cfg: SimConfig, mesh: Mesh, batched: bool = False):
+    """NamedShardings for a SimState on ``mesh``."""
+    lead = (BATCH_AXIS,) if batched else ()
+    grid = P(*lead, None, X_AXIS, Y_AXIS)
+    return SimState(
+        velocity=NamedSharding(mesh, grid),
+        color=NamedSharding(mesh, grid),
+        step=NamedSharding(mesh, P()),
+    )
+
+
+def _local_coords(cfg, nx, ny, lh, lw):
+    """Global (i, j) coordinate arrays for this shard's block."""
+    ox = lax.axis_index(X_AXIS) * lh
+    oy = lax.axis_index(Y_AXIS) * lw
+    ii = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0) + ox
+    jj = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1) + oy
+    return ii, jj, ox, oy
+
+
+def _exchange2(x, width, nx, ny, bcs=("zero", "zero")):
+    x = exchange_halo(x, width, -2, X_AXIS, nx, bcs[0])
+    x = exchange_halo(x, width, -1, Y_AXIS, ny, bcs[1])
+    return x
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
+                      donate: bool = True):
+    """Build a jitted sharded ``step(state, impulses) -> state``.
+
+    ``max_disp``: advection CFL clamp in cells — sets the halo width, so it
+    bounds ICI traffic as well as the backtrace (see ops/pallas/advect.py).
+    """
+    if cfg.ndim != 2:
+        raise NotImplementedError("sharded step is 2D for now")
+    H, W = cfg.shape
+    nx = mesh.shape[X_AXIS]
+    ny = mesh.shape[Y_AXIS]
+    if H % nx or W % ny:
+        raise ValueError(f"grid {cfg.shape} not divisible by mesh ({nx},{ny})")
+    lh, lw = H // nx, W // ny
+    k = max_disp + 1
+    dt, dx = cfg.dt, cfg.dx
+    f32 = jnp.float32
+
+    def advect_local(field, vel, ii, jj, ox, oy, no_slip):
+        """Backtrace + gather in a k-halo window; global-coordinate clamps."""
+        fpad = _exchange2(field, k, nx, ny)
+        v0 = vel[0].astype(f32)
+        v1 = vel[1].astype(f32)
+        gi = ii.astype(f32)
+        gj = jj.astype(f32)
+        si_raw = gi - v0 * f32(dt)
+        sj_raw = gj - v1 * f32(dt)
+        # CFL clamp to the halo, then the reference domain clamp
+        si = jnp.clip(jnp.clip(si_raw, gi - max_disp, gi + max_disp),
+                      0.0, f32(H - 1))
+        sj = jnp.clip(jnp.clip(sj_raw, gj - max_disp, gj + max_disp),
+                      0.0, f32(W - 1))
+        # local window coords: window row 0 == global row (offset - k), so a
+        # global coordinate g maps to g - offset + k
+        li = si - ox.astype(f32) + f32(k)
+        lj = sj - oy.astype(f32) + f32(k)
+        out = sample_linear(fpad, (li, lj), no_slip=False)
+        if no_slip:
+            out = out * (noslip_axis_factor(si_raw, H)
+                         * noslip_axis_factor(sj_raw, W)).astype(out.dtype)
+        return out
+
+    def divergence_local(vel):
+        vx = _exchange2(vel[0], 1, nx, ny, ("reflect_neg", "zero"))
+        vy = _exchange2(vel[1], 1, nx, ny, ("zero", "reflect_neg"))
+        inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+        return ((vx[2:, 1:-1] - vx[:-2, 1:-1])
+                + (vy[1:-1, 2:] - vy[1:-1, :-2])) * inv
+
+    def gradient_sub_local(vel, p):
+        ppad = _exchange2(p, 1, nx, ny, ("edge", "edge"))
+        inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+        gx = (ppad[2:, 1:-1] - ppad[:-2, 1:-1]) * inv
+        gy = (ppad[1:-1, 2:] - ppad[1:-1, :-2]) * inv
+        return vel - jnp.stack([gx, gy], axis=0)
+
+    def sor_local(d, ii, jj):
+        """Red-black SOR with per-half-sweep halo refresh; global parity and
+        global Neumann diagonal (``poisson.cpp:10-12, 67-89``)."""
+        parity = (ii + jj) % 2
+        a = (4
+             - (ii == 0).astype(jnp.int32) - (ii == H - 1).astype(jnp.int32)
+             - (jj == 0).astype(jnp.int32) - (jj == W - 1).astype(jnp.int32))
+        lut = jnp.asarray(
+            (-1.0 / np.arange(1, 5, dtype=np.float64)).astype(np.float32),
+            d.dtype)
+        neg_inv = lut[a - 1]
+        w = jnp.asarray(cfg.omega, d.dtype)
+        one_m_w = jnp.asarray(1.0 - cfg.omega, d.dtype)
+        dxd = jnp.asarray(dx, d.dtype) * d
+
+        p = jnp.zeros_like(d)
+        for _ in range(cfg.sor_iters):
+            for color in (0, 1):
+                ppad = _exchange2(p, 1, nx, ny)
+                nb = (ppad[:-2, 1:-1] + ppad[2:, 1:-1]
+                      + ppad[1:-1, :-2] + ppad[1:-1, 2:])
+                p_new = one_m_w * p + w * (neg_inv * (dxd - nb))
+                p = jnp.where(parity == color, p_new, p)
+        return p
+
+    def impulses_local(vel, imp: Impulses, ii, jj):
+        """Masked overwrite at global cells — scatter-free, shard-oblivious
+        (.ino:264-269 semantics; later impulses win)."""
+        for n in range(cfg.max_impulses):
+            gi = jnp.clip(imp.pos[n, 0], 0, H - 1)
+            gj = jnp.clip(imp.pos[n, 1], 0, W - 1)
+            hit = imp.active[n] & (ii == gi) & (jj == gj)
+            vel = jnp.where(hit[None],
+                            imp.velocity[n, :, None, None].astype(vel.dtype),
+                            vel)
+        return vel
+
+    def local_step(state: SimState, imp: Impulses) -> SimState:
+        ii, jj, ox, oy = _local_coords(cfg, nx, ny, lh, lw)
+        vel = advect_local(state.velocity, state.velocity, ii, jj, ox, oy,
+                           no_slip=True)
+        vel = impulses_local(vel, imp, ii, jj)
+        div = divergence_local(vel)
+        p = sor_local(div, ii, jj)
+        vel = gradient_sub_local(vel, p)
+        color = advect_local(state.color, vel, ii, jj, ox, oy, no_slip=False)
+        color = jnp.clip(color, 0.0, 1.0)
+        return SimState(velocity=vel, color=color, step=state.step + 1)
+
+    grid_spec = P(None, X_AXIS, Y_AXIS)
+    state_spec = SimState(velocity=grid_spec, color=grid_spec, step=P())
+    imp_spec = Impulses(pos=P(), velocity=P(), active=P())
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, imp_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_render(cfg: SimConfig, mesh: Mesh):
+    """Sharded upscale+RGB565: each shard upscales its block using a 1-node
+    edge halo; output stays device-sharded as ``[H*s, W*s]`` — crop the last
+    ``s`` row/col block (the reference's lerp endpoints, ``.ino:115``) after
+    (or during) fetch."""
+    H, W = cfg.shape
+    nx = mesh.shape[X_AXIS]
+    ny = mesh.shape[Y_AXIS]
+    s = cfg.scaling
+
+    from ..render.upscale import pack_rgb565
+
+    def local_render(color):
+        cpad = _exchange2(color, 1, nx, ny, ("edge", "edge"))
+        c = cpad[:, 1:, 1:]  # keep only the +1 ghost on the high side
+        ch, h, w = c.shape
+        t = (jnp.arange(s, dtype=jnp.float32) / s)
+        r0 = c[:, :-1, :][:, :, None, :]
+        r1 = c[:, 1:, :][:, :, None, :]
+        rows = (r0 * (1 - t)[None, None, :, None]
+                + r1 * t[None, None, :, None]).reshape(ch, (h - 1) * s, w)
+        c0 = rows[:, :, :-1][:, :, :, None]
+        c1 = rows[:, :, 1:][:, :, :, None]
+        out = (c0 * (1 - t)[None, None, None, :]
+               + c1 * t[None, None, None, :]).reshape(
+                   ch, (h - 1) * s, (w - 1) * s)
+        return pack_rgb565(out)
+
+    fn = shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(None, X_AXIS, Y_AXIS),),
+        out_specs=P(X_AXIS, Y_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)

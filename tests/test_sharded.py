@@ -1,0 +1,111 @@
+"""Sharded-vs-single-device parity on an 8-virtual-device CPU mesh
+(SURVEY.md §4.3: the standard JAX trick — the identical code then runs on a
+real TPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esp32_fluid_simulation_tpu import SimConfig, Impulses, init_state, make_step
+from esp32_fluid_simulation_tpu.parallel import (make_mesh, make_sharded_step,
+                                                 sharded_state_sharding)
+from esp32_fluid_simulation_tpu.parallel.sharded import make_sharded_render
+from esp32_fluid_simulation_tpu.render import render_rgb565
+
+F = np.float32
+
+
+def _mesh_2x4():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return make_mesh(jax.devices()[:8], batch=1, grid_shape=(2, 4))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # divisible by the (2, 4) mesh; small velocities stay under the CFL clamp
+    return SimConfig(shape=(64, 96), sor_iters=10, omega=1.8)
+
+
+def _kicked_state(cfg, steps=3):
+    """Run a few unsharded steps with impulses to get a non-trivial state."""
+    fn = make_step(cfg, donate=False)
+    st = init_state(cfg)
+    for t in range(steps):
+        imp = Impulses.from_lists(
+            cfg, [(20 + t, 30), (40, 50 - t)], [(90.0, -45.0), (-60.0, 120.0)])
+        st = fn(st, imp)
+    return st
+
+
+def test_sharded_step_matches_single_device(cfg):
+    mesh = _mesh_2x4()
+    st = _kicked_state(cfg)
+    imp = Impulses.from_lists(cfg, [(10, 10)], [(50.0, 80.0)])
+
+    single = make_step(cfg, donate=False)(st, imp)
+
+    sh = sharded_state_sharding(cfg, mesh)
+    st_sh = jax.device_put(st, sh)
+    sharded_fn = make_sharded_step(cfg, mesh, donate=False)
+    out = sharded_fn(st_sh, imp)
+
+    np.testing.assert_allclose(np.asarray(out.velocity),
+                               np.asarray(single.velocity),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.color),
+                               np.asarray(single.color),
+                               rtol=1e-5, atol=1e-5)
+    assert int(out.step) == int(single.step)
+
+
+def test_sharded_multi_step_stability(cfg):
+    mesh = _mesh_2x4()
+    sh = sharded_state_sharding(cfg, mesh)
+    st = jax.device_put(init_state(cfg), sh)
+    fn = make_sharded_step(cfg, mesh, donate=False)
+    none = Impulses.none(cfg)
+    imp = Impulses.from_lists(cfg, [(32, 48)], [(200.0, 150.0)])
+    for t in range(5):
+        st = fn(st, imp if t == 0 else none)
+    v = np.asarray(st.velocity)
+    assert np.isfinite(v).all()
+    assert np.abs(v).max() > 0  # the impulse propagated
+
+
+def test_sharded_render_matches_single(cfg):
+    mesh = _mesh_2x4()
+    st = _kicked_state(cfg, steps=2)
+    want = np.asarray(render_rgb565(st.color, s=cfg.scaling))
+    sh = sharded_state_sharding(cfg, mesh)
+    st_sh = jax.device_put(st, sh)
+    frame = np.asarray(make_sharded_render(cfg, mesh)(st_sh.color))
+    h, w = want.shape
+    got = frame[:h, :w]
+    # bit-identical modulo float lerp order -> compare decoded channels
+    assert (got == want).mean() > 0.999
+
+
+def test_batched_spatial_mesh_runs():
+    """batch=2 x spatial 2x2: ensemble member per batch shard, grid sharded
+    within — the full (dp x sp) mesh on 8 devices."""
+    cfg = SimConfig(shape=(32, 64))
+    mesh = make_mesh(jax.devices()[:8], batch=2, grid_shape=(2, 2))
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    from esp32_fluid_simulation_tpu.parallel.topology import (BATCH_AXIS,
+                                                              X_AXIS, Y_AXIS)
+    # vmap the single-device step over a stacked ensemble, sharded over batch
+    fn = make_step(cfg, donate=False)
+    st0 = init_state(cfg)
+    batch = jax.tree.map(lambda x: jnp.stack([x, x]), st0)
+    imp = Impulses.from_lists(cfg, [(16, 32)], [(100.0, -50.0)])
+    imp_b = jax.tree.map(lambda x: jnp.stack([x, x]), imp)
+    vfn = jax.jit(jax.vmap(lambda s, i: fn(s, i)))
+    spec = NamedSharding(mesh, P(BATCH_AXIS))
+    batch = jax.device_put(batch, jax.tree.map(lambda _: spec, st0,
+                                               is_leaf=lambda x: x is None))
+    out = vfn(batch, imp_b)
+    v = np.asarray(out.velocity)
+    assert v.shape == (2, 2, 32, 64) and np.isfinite(v).all()
+    # both members identical (same inputs)
+    np.testing.assert_allclose(v[0], v[1], atol=0)
