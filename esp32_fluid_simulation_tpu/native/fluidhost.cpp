@@ -1,0 +1,189 @@
+// fluidhost: native host runtime for the TPU fluid framework.
+//
+// The reference's application runtime is C++ on FreeRTOS: a lossy 10-deep
+// drag queue between the touch and sim tasks (xQueueCreate/xQueueSend,
+// ESP32-fluid-simulation.ino:44-49,85), a two-binary-semaphore 1-slot
+// producer/consumer handshake guarding the color buffer (.ino:58-59,
+// 111,189,285,288), a 100 Hz poll pacer (.ino:94), and RGB565 pixel packing
+// for the display DMA (.ino:164-176).  This library is the host-side
+// equivalent for a TPU pipeline: the sim thread (JAX dispatch) and the
+// frame-consumer thread (device_get + encode/display) synchronize through
+// the same primitives, and the pixel conversion runs natively off the GIL.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <thread>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Drag queue: bounded SPSC ring buffer, non-blocking lossy push — the exact
+// semantics of xQueueSend(..., 0) into a 10-deep queue (.ino:49,85).
+// ---------------------------------------------------------------------------
+
+struct fh_drag {
+  int32_t i, j;        // sim-frame cell indices
+  float vi, vj;        // velocity to write (cells/s)
+};
+
+struct fh_queue {
+  fh_drag *buf;
+  uint32_t cap;
+  std::atomic<uint64_t> head;  // next slot to pop
+  std::atomic<uint64_t> tail;  // next slot to push
+  std::atomic<uint64_t> dropped;
+};
+
+fh_queue *fh_queue_create(uint32_t capacity) {
+  auto *q = new fh_queue();
+  q->buf = new fh_drag[capacity];
+  q->cap = capacity;
+  q->head.store(0);
+  q->tail.store(0);
+  q->dropped.store(0);
+  return q;
+}
+
+void fh_queue_destroy(fh_queue *q) {
+  delete[] q->buf;
+  delete q;
+}
+
+// Returns 1 on success, 0 if full (message dropped, like xQueueSend timeout 0).
+int fh_queue_try_push(fh_queue *q, int32_t i, int32_t j, float vi, float vj) {
+  uint64_t tail = q->tail.load(std::memory_order_relaxed);
+  uint64_t head = q->head.load(std::memory_order_acquire);
+  if (tail - head >= q->cap) {
+    q->dropped.fetch_add(1, std::memory_order_relaxed);
+    return 0;
+  }
+  fh_drag &d = q->buf[tail % q->cap];
+  d.i = i; d.j = j; d.vi = vi; d.vj = vj;
+  q->tail.store(tail + 1, std::memory_order_release);
+  return 1;
+}
+
+// Drain up to max_n pending drags into out (the start-of-step drain loop,
+// .ino:264-269).  Returns the count.
+int fh_queue_drain(fh_queue *q, fh_drag *out, int max_n) {
+  int n = 0;
+  uint64_t head = q->head.load(std::memory_order_relaxed);
+  uint64_t tail = q->tail.load(std::memory_order_acquire);
+  while (head < tail && n < max_n) {
+    out[n++] = q->buf[head % q->cap];
+    ++head;
+  }
+  q->head.store(head, std::memory_order_release);
+  return n;
+}
+
+uint64_t fh_queue_dropped(fh_queue *q) { return q->dropped.load(); }
+
+// ---------------------------------------------------------------------------
+// Frame handshake: two binary semaphores forming a 1-slot producer/consumer
+// rendezvous (color_consumed / color_produced, .ino:58-59).  fh_handshake
+// starts with "consumed" given (.ino:243: first op is a write).
+// ---------------------------------------------------------------------------
+
+struct fh_binsem {
+  std::mutex m;
+  std::condition_variable cv;
+  bool up = false;
+
+  void give() {
+    { std::lock_guard<std::mutex> g(m); up = true; }
+    cv.notify_one();
+  }
+  // timeout_ms < 0: wait forever.  Returns 1 if taken, 0 on timeout.
+  int take(int64_t timeout_ms) {
+    std::unique_lock<std::mutex> g(m);
+    auto pred = [this] { return up; };
+    if (timeout_ms < 0) {
+      cv.wait(g, pred);
+    } else if (!cv.wait_for(g, std::chrono::milliseconds(timeout_ms), pred)) {
+      return 0;
+    }
+    up = false;
+    return 1;
+  }
+};
+
+struct fh_handshake {
+  fh_binsem consumed;
+  fh_binsem produced;
+};
+
+fh_handshake *fh_handshake_create() {
+  auto *h = new fh_handshake();
+  h->consumed.give();  // prime: frame 0 is a write (.ino:243)
+  return h;
+}
+void fh_handshake_destroy(fh_handshake *h) { delete h; }
+
+int fh_producer_acquire(fh_handshake *h, int64_t timeout_ms) {
+  return h->consumed.take(timeout_ms);          // xSemaphoreTake(color_consumed)
+}
+void fh_producer_publish(fh_handshake *h) { h->produced.give(); }
+int fh_consumer_acquire(fh_handshake *h, int64_t timeout_ms) {
+  return h->produced.take(timeout_ms);          // xSemaphoreTake(color_produced)
+}
+void fh_consumer_release(fh_handshake *h) { h->consumed.give(); }
+
+// ---------------------------------------------------------------------------
+// Frame pacer: absolute-deadline sleeper (vTaskDelay-style pacing, .ino:94;
+// DT "should match real FPS", .ino:16).
+// ---------------------------------------------------------------------------
+
+struct fh_pacer {
+  std::chrono::steady_clock::time_point next;
+  std::chrono::nanoseconds period;
+};
+
+fh_pacer *fh_pacer_create(double fps) {
+  auto *p = new fh_pacer();
+  p->period = std::chrono::nanoseconds((int64_t)(1e9 / fps));
+  p->next = std::chrono::steady_clock::now() + p->period;
+  return p;
+}
+void fh_pacer_destroy(fh_pacer *p) { delete p; }
+
+// Sleep until the next frame deadline; returns the number of whole periods
+// missed (0 = on time).
+int fh_pacer_wait(fh_pacer *p) {
+  auto now = std::chrono::steady_clock::now();
+  int missed = 0;
+  while (p->next < now) {
+    p->next += p->period;
+    ++missed;
+  }
+  std::this_thread::sleep_until(p->next);
+  p->next += p->period;
+  return missed > 0 ? missed - 1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Pixel paths: RGB565 (byte-swapped, the wire format of .ino:170-173) to
+// RGB888, natively and off the GIL.
+// ---------------------------------------------------------------------------
+
+void fh_rgb565_to_rgb888(const uint16_t *in, uint8_t *out, int64_t n_px,
+                         int swapped) {
+  for (int64_t k = 0; k < n_px; ++k) {
+    uint16_t v = in[k];
+    if (swapped) v = (uint16_t)((v << 8) | (v >> 8));
+    uint8_t r5 = (v >> 11) & 0x1F;
+    uint8_t g6 = (v >> 5) & 0x3F;
+    uint8_t b5 = v & 0x1F;
+    out[3 * k + 0] = (uint8_t)((r5 << 3) | (r5 >> 2));
+    out[3 * k + 1] = (uint8_t)((g6 << 2) | (g6 >> 4));
+    out[3 * k + 2] = (uint8_t)((b5 << 3) | (b5 >> 2));
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,72 @@
+"""3D smoke model and vmap ensemble tests (BASELINE configs 4/5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esp32_fluid_simulation_tpu import SimConfig, Impulses, init_state, make_step
+from esp32_fluid_simulation_tpu.models.smoke3d import (SmokeConfig, init_smoke,
+                                                       make_smoke_step)
+from esp32_fluid_simulation_tpu.models.ensemble import (init_ensemble,
+                                                        stack_impulses,
+                                                        make_ensemble_step)
+
+F = np.float32
+
+
+def test_smoke_plume_rises():
+    cfg = SmokeConfig(shape=(32, 24, 24), mg_cycles=1)
+    fn = make_smoke_step(cfg, donate=False)
+    st = init_smoke(cfg)
+    for _ in range(25):
+        st = fn(st)
+    rho = np.asarray(st.density)
+    assert np.isfinite(rho).all() and rho.max() > 0.05
+    # source sits near axis-0 index ~0.9*D (bottom); buoyancy pushes smoke to
+    # lower indices (up): there must be smoke well above the source sphere
+    src_top = int(0.9 * 32 - 0.08 * 24) - 2
+    above = rho[:src_top].sum()
+    assert above > 0.0
+    v = np.asarray(st.velocity)
+    assert np.isfinite(v).all()
+    # net vertical motion is upward (negative axis-0 velocity where smoke is)
+    w_up = (v[0] * rho).sum()
+    assert w_up < 0
+
+
+def test_smoke_divergence_controlled():
+    from esp32_fluid_simulation_tpu.ops.fd import divergence
+    cfg = SmokeConfig(shape=(24, 24, 24), mg_cycles=2)
+    fn = make_smoke_step(cfg, donate=False)
+    st = init_smoke(cfg)
+    for _ in range(10):
+        st = fn(st)
+    div = np.asarray(divergence(st.velocity))
+    speed = np.abs(np.asarray(st.velocity)).max() + 1e-6
+    assert np.abs(div).max() < 0.7 * speed
+
+
+def test_ensemble_members_independent():
+    cfg = SimConfig(shape=(24, 32), max_impulses=2)
+    n = 4
+    st = init_ensemble(cfg, n)
+    fn = make_ensemble_step(cfg, donate=False)
+    imps = [Impulses.from_lists(cfg, [(12, 16)], [(float(60 + 40 * k), 0.0)])
+            for k in range(n)]
+    batched = stack_impulses(imps)
+    for _ in range(3):
+        st = fn(st, batched)
+        batched = stack_impulses([Impulses.none(cfg)] * n)
+    v = np.asarray(st.velocity)
+    assert v.shape == (n, 2, 24, 32)
+    # members got different kicks -> different fields
+    assert not np.allclose(v[0], v[1])
+    assert not np.allclose(v[1], v[3])
+    # each member matches an unbatched run with the same schedule
+    single = make_step(cfg, donate=False)
+    s = init_state(cfg)
+    s = single(s, imps[2])
+    s = single(s, Impulses.none(cfg))
+    s = single(s, Impulses.none(cfg))
+    np.testing.assert_allclose(v[2], np.asarray(s.velocity),
+                               rtol=1e-5, atol=1e-5)
