@@ -52,6 +52,8 @@ class SimConfig:
     omega: float = REF_SOR_OMEGA
     solver: str = "sor"          # sor | jacobi | sor_pallas | multigrid
     advector: str = "semilag"    # semilag | maccormack
+    advect_impl: str = "auto"    # auto | jnp | pallas (pallas: 2D TPU only)
+    advect_max_disp: int = 12    # CFL clamp (cells/step) for the pallas path
     vorticity_eps: float = 0.0   # >0 enables vorticity confinement
     dtype: str = "float32"       # compute dtype for fields
     color_dtype: str = "float32"  # dye storage dtype (bf16 halves HBM traffic)
@@ -70,6 +72,8 @@ class SimConfig:
             raise ValueError(f"unknown advector {self.advector!r}")
         if self.dtype not in _DTYPES or self.color_dtype not in _DTYPES:
             raise ValueError(f"unknown dtype {self.dtype!r}/{self.color_dtype!r}")
+        if self.advect_impl not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown advect_impl {self.advect_impl!r}")
 
     # -- derived -----------------------------------------------------------
     @property

@@ -87,8 +87,30 @@ def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
     return jax.lax.fori_loop(0, k, body, vel, unroll=True)
 
 
+def _use_pallas_advect(cfg: SimConfig) -> bool:
+    if cfg.advector != "semilag" or cfg.ndim != 2:
+        return False
+    if cfg.advect_impl == "pallas":
+        return True
+    if cfg.advect_impl == "jnp":
+        return False
+    # auto: the Pallas gather kernel wins on large grids on TPU (XLA's TPU
+    # gather runs at ~1e8 pts/s); small grids stay on the exact jnp path.
+    h, w = cfg.shape
+    return h * w >= 512 * 512 and jax.default_backend() == "tpu"
+
+
 def _advect_by(cfg: SimConfig):
-    return advect_maccormack if cfg.advector == "maccormack" else advect
+    if cfg.advector == "maccormack":
+        return advect_maccormack
+    if _use_pallas_advect(cfg):
+        from ..ops.pallas.advect import advect_pallas
+
+        def adv(field, vel, dt, no_slip):
+            return advect_pallas(field, vel, dt, no_slip,
+                                 max_disp=cfg.advect_max_disp)
+        return adv
+    return advect
 
 
 def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:

@@ -9,15 +9,17 @@ CFL number; this kernel exploits that:
   from HBM into VMEM.  The halo covers ``max_disp + 1`` cells and is rounded
   up to hardware tile multiples (8 sublanes / 128 lanes) so every VMEM shape
   is aligned;
-* the bilinear gather becomes a **select-sum over integer shifts**: for every
-  integer offset (s, t) actually present in the tile (dynamic fori_loop over
-  the tile's min/max offsets — typically a 2x2..4x4 range away from fresh
-  impulses), accumulate ``weight(s,t) * window(s,t)``.  The shifted window is
-  produced with ``tpu.dynamic_rotate`` (pltpu.roll with a traced shift) plus
-  a static slice — Mosaic has no unaligned dynamic vector loads, but it does
-  have dynamic lane/sublane rotates.  The weight merges the four bilinear
-  corner contributions that map to that shift.  All VPU element-wise ops, no
-  gather anywhere;
+* the column component of the bilinear gather is ONE hardware op —
+  ``tpu.dynamic_gather`` (``jnp.take_along_axis`` along lanes), the only
+  arbitrary per-element gather the VPU has.  A full 2D per-element gather
+  cannot be composed from two 1D gathers (the inner index field would be
+  re-evaluated at gathered positions), so the row component is resolved by a
+  short *dynamic* loop over the integer row shifts actually present in the
+  tile (``fori_loop`` over the tile's min/max backtrace offset — typically a
+  handful, bounded by ``2*max_disp+2``); each iteration rotates the haloed
+  tile by one row shift (``tpu.dynamic_rotate`` — Mosaic has no unaligned
+  dynamic vector loads, but it does have dynamic rotates), lane-gathers the
+  two bilinear columns, and accumulates the masked row weight;
 * boundary semantics match the reference sampler (``advect.h:24-72``):
   clamped-coordinate multilinear interpolation == edge lerp, and the no-slip
   overshoot discount is computed from the *unclamped* coords and applied at
@@ -90,44 +92,37 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, sem,
     dj = sj - j0
 
     rel_i = (i0 - i_glob).astype(jnp.int32)   # in [-max_disp, max_disp]
-    rel_j = (j0 - j_glob).astype(jnp.int32)
-
     smin = jnp.min(rel_i)
     smax = jnp.max(rel_i)
-    tmin = jnp.min(rel_j)
-    tmax = jnp.max(rel_j)
 
     dma.wait()
     src = src_vmem[:].astype(f32)
 
-    w00 = (1.0 - di) * (1.0 - dj)
-    w01 = (1.0 - di) * dj
-    w10 = di * (1.0 - dj)
-    w11 = di * dj
-
-    # Mosaic cannot vector-load at unaligned dynamic offsets, but it CAN
-    # rotate a vector by a dynamic amount (tpu.dynamic_rotate) — so each
-    # integer shift is a roll of the haloed tile + a static aligned slice.
-    # Rolls never wrap DMA'd data out of reach: |s| <= max_disp < pr.
-    def t_body(t, carry):
-        acc, rows_s, s = carry
-        win = pltpu.roll(rows_s, -t, 1)[:, pc:pc + tile_w]
-        # merge the 4 bilinear corners that hit this shifted window
-        ms = rel_i == s
-        ms1 = rel_i == s - 1
-        mt = rel_j == t
-        mt1 = rel_j == t - 1
-        wgt = (jnp.where(ms & mt, w00, 0.0)
-               + jnp.where(ms & mt1, w01, 0.0)
-               + jnp.where(ms1 & mt, w10, 0.0)
-               + jnp.where(ms1 & mt1, w11, 0.0))
-        return acc + win * wgt, rows_s, s
+    # Column gather is ONE hardware op per row-shift: tpu.dynamic_gather
+    # (jnp.take_along_axis along lanes).  The remaining row displacement is a
+    # short dynamic loop over the integer shifts actually present in the
+    # tile (typically a handful; bounded by 2*max_disp+2).  Mosaic requires
+    # the index array to match the gathered array's shape, so the local
+    # column indices are padded out to the haloed width (padded output
+    # columns are sliced off).
+    srcw = tile_w + 2 * pc
+    lj = (j0 - f32(col0 - pc)).astype(jnp.int32)  # local col of j0 in src
+    pad_cols = ((0, 0), (0, srcw - tile_w))
+    lj_p = jnp.pad(lj, pad_cols)
+    lj1_p = jnp.pad(lj + 1, pad_cols)
+    one_m_dj = 1.0 - dj
+    w_i0 = 1.0 - di
+    w_i1 = di
 
     def s_body(s, acc):
+        # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
         rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
-        acc, _, _ = jax.lax.fori_loop(tmin, tmax + 2, t_body,
-                                      (acc, rows_s, s))
-        return acc
+        g0 = jnp.take_along_axis(rows_s, lj_p, axis=1)[:, :tile_w]
+        g1 = jnp.take_along_axis(rows_s, lj1_p, axis=1)[:, :tile_w]
+        colv = g0 * one_m_dj + g1 * dj
+        contrib = (jnp.where(rel_i == s, w_i0, 0.0)
+                   + jnp.where(rel_i == s - 1, w_i1, 0.0))
+        return acc + colv * contrib
 
     acc = jnp.zeros((tile_h, tile_w), f32)
     acc = jax.lax.fori_loop(smin, smax + 2, s_body, acc)
@@ -185,7 +180,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         in_specs=[
             pl.BlockSpec((2, th, tw), lambda ci, r, cl: (0, r, cl),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded field, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # padded field, manual DMA
         ],
         out_specs=pl.BlockSpec((1, th, tw), lambda ci, r, cl: (ci, r, cl),
                                memory_space=pltpu.VMEM),

@@ -1,0 +1,136 @@
+"""Fused red-black SOR Poisson solve as a single Pallas kernel.
+
+The jnp solver (``ops.poisson.sor_solve``) round-trips the pressure array
+through HBM twice per half-sweep: 10 reference iterations = 20 full-grid
+read+writes, ~40x the data movement the math needs.  This kernel runs the
+ENTIRE solve in one pass using overlapped (trapezoidal) tiling:
+
+* pressure starts at zero every solve (``poisson.cpp:117-119``), so the only
+  input is the divergence window;
+* each program DMAs its tile plus a ``2*iters``-cell halo of ``d``, keeps the
+  pressure workspace in VMEM, and runs all ``2*iters`` checkerboard
+  half-sweeps locally.  A half-sweep invalidates one ring of the halo (its
+  outer cells see zeros instead of the neighbor tile's values), so after
+  ``2*iters`` half-sweeps the interior tile is still *exactly* the global
+  result — redundant compute on the halo ring buys zero HBM traffic between
+  sweeps;
+* cells outside the global domain are forced to zero each half-sweep, which
+  reproduces the reference's zero-ghost neighbor sums at walls, and the
+  variable Neumann diagonal ``a_ii`` (``poisson.cpp:63-90``) is rebuilt from
+  global coordinates (edge/corner selects) inside the kernel;
+* the red/black masks, parity, and update are the same math as
+  ``ops.poisson.sor_sweep`` — parity-tested against it.
+
+Halos are rounded to hardware tiles (8 sublanes / 128 lanes), so the
+redundant-compute overhead at tile 256x1024 with iters=10 is ~(280/256 *
+1280/1024) = 1.37x of a sweep's FLOPs — paid once, versus 20 HBM round
+trips saved.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _sor_kernel(d_hbm, out_ref, dwin_vmem, sem,
+                *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    row0 = r * tile_h
+    col0 = c * tile_w
+    wh = tile_h + 2 * pr
+    ww = tile_w + 2 * pc
+
+    dma = pltpu.make_async_copy(
+        d_hbm.at[pl.ds(row0, wh), pl.ds(col0, ww)], dwin_vmem, sem)
+    dma.start()
+
+    f32 = jnp.float32
+    # global coords of the window (window (0,0) is global (row0-pr, col0-pc))
+    gi = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+          + (row0 - pr))
+    gj = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+          + (col0 - pc))
+    in_dom = ((gi >= 0) & (gi < h) & (gj >= 0) & (gj < w))
+    parity_is_even = ((gi + gj) % 2) == 0
+
+    # variable Neumann diagonal (poisson.cpp:67-89): -1/a_ii with a_ii the
+    # number of in-bounds neighbors; LUT entries as f32 of double divisions
+    a = (4
+         - (gi == 0).astype(jnp.int32) - (gi == h - 1).astype(jnp.int32)
+         - (gj == 0).astype(jnp.int32) - (gj == w - 1).astype(jnp.int32))
+    neg_half = f32(np.float32(-1.0 / 2.0))
+    neg_third = f32(np.float32(-1.0 / 3.0))
+    neg_quart = f32(np.float32(-1.0 / 4.0))
+    neg_inv = jnp.where(a == 4, neg_quart,
+                        jnp.where(a == 3, neg_third, neg_half))
+
+    dma.wait()
+    dxd = dwin_vmem[:].astype(f32) * f32(dx)
+    dxd = jnp.where(in_dom, dxd, 0.0)
+
+    wgt = f32(omega)
+    one_m_w = f32(1.0 - omega)
+    zeros_row = jnp.zeros((1, ww), f32)
+    zeros_col = jnp.zeros((wh, 1), f32)
+
+    p = jnp.zeros((wh, ww), f32)
+    for half in range(2 * iters):
+        color_is_even = (half % 2) == 0
+        # zero-ghost neighbor sum in the reference's accumulation order
+        up = jnp.concatenate([zeros_row, p[:-1, :]], axis=0)
+        dn = jnp.concatenate([p[1:, :], zeros_row], axis=0)
+        lf = jnp.concatenate([zeros_col, p[:, :-1]], axis=1)
+        rt = jnp.concatenate([p[:, 1:], zeros_col], axis=1)
+        nb = ((up + dn) + lf) + rt
+        p_new = one_m_w * p + wgt * (neg_inv * (dxd - nb))
+        mask = parity_is_even if color_is_even else ~parity_is_even
+        p = jnp.where(mask & in_dom, p_new, jnp.where(in_dom, p, 0.0))
+
+    out_ref[:, :] = p[pr:pr + tile_h, pc:pc + tile_w].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dx", "iters", "omega", "tile_h",
+                                    "tile_w"))
+def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
+                     omega: float = 1.96, tile_h: int = 256,
+                     tile_w: int = 1024) -> jax.Array:
+    """Drop-in replacement for ``ops.poisson.sor_solve`` on large 2D grids."""
+    h, w = d.shape
+    pr = _cdiv(2 * iters, 8) * 8
+    pc = _cdiv(2 * iters, 128) * 128
+    th = min(tile_h, _cdiv(h, 8) * 8)
+    tw = min(tile_w, _cdiv(w, 128) * 128)
+    hp = _cdiv(h, th) * th
+    wp = _cdiv(w, tw) * tw
+
+    dpad = jnp.pad(d, ((pr, pr + hp - h), (pc, pc + wp - w)))
+
+    kernel = functools.partial(
+        _sor_kernel, iters=iters, omega=omega, dx=dx,
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((th, tw), lambda r, c: (r, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * pr, tw + 2 * pc), dpad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(dpad)
+    return out[:h, :w]

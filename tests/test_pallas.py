@@ -1,0 +1,91 @@
+"""Pallas TPU kernel semantics, pinned on CPU via interpreter mode.
+
+The real-hardware performance path is exercised by bench.py on the chip;
+these tests keep the kernel *math* under CI (SURVEY.md §7.4: A/B each Pallas
+kernel against the jnp version behind the same API)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+
+from esp32_fluid_simulation_tpu.ops.advect import advect
+from esp32_fluid_simulation_tpu.ops.poisson import sor_solve
+
+F = np.float32
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    # the kernels capture pl.pallas_call at call time, so reimport is safe
+    yield
+
+
+@pytest.mark.parametrize("no_slip", [False, True])
+@pytest.mark.parametrize("shape", [(61, 81), (96, 200)])
+def test_advect_pallas_matches_jnp(rng, shape, no_slip):
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    f = jnp.asarray(rng.random(shape, dtype=F))
+    v = jnp.asarray((60 * rng.standard_normal((2,) + shape)).astype(F))
+    a = advect(f, v, 1 / 30., no_slip)
+    b = advect_pallas(f, v, 1 / 30., no_slip, max_disp=12)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_advect_pallas_multichannel(rng):
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    f = jnp.asarray(rng.random((3, 96, 200), dtype=F))
+    v = jnp.asarray((30 * rng.standard_normal((2, 96, 200))).astype(F))
+    a = advect(f, v, 1 / 30., False)
+    b = advect_pallas(f, v, 1 / 30., False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_advect_pallas_cfl_clamp(rng):
+    """Displacements beyond max_disp are clamped — equivalent to advecting
+    through a velocity field clipped to max_disp/dt."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    shape = (48, 96)
+    f = jnp.asarray(rng.random(shape, dtype=F))
+    v = jnp.asarray((400 * rng.standard_normal((2,) + shape)).astype(F))
+    dt = 1 / 30.
+    got = advect_pallas(f, v, dt, False, max_disp=4)
+    vc = jnp.clip(v, -4 / dt, 4 / dt)
+    want = advect(f, vc, dt, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_sor_pallas_matches_jnp(rng):
+    from esp32_fluid_simulation_tpu.ops.pallas.sor import sor_solve_pallas
+    for shape in [(61, 81), (130, 200)]:
+        d = jnp.asarray(rng.standard_normal(shape).astype(F))
+        a = sor_solve(d, 1.0, 10, 1.96)
+        b = sor_solve_pallas(d, 1.0, 10, 1.96, tile_h=64, tile_w=128)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_step_with_pallas_solver(rng):
+    """solver='sor_pallas' + advect_impl='pallas' through the model step."""
+    from esp32_fluid_simulation_tpu import (SimConfig, Impulses, init_state,
+                                            make_step)
+    cfg = SimConfig(shape=(64, 96), solver="sor_pallas",
+                    advect_impl="pallas", advect_max_disp=8)
+    ref = SimConfig(shape=(64, 96), solver="sor", advect_impl="jnp")
+    imp = Impulses.from_lists(cfg, [(30, 40)], [(150.0, -100.0)])
+    st_a = make_step(cfg, donate=False)(init_state(cfg), imp)
+    st_b = make_step(ref, donate=False)(init_state(ref), imp)
+    np.testing.assert_allclose(np.asarray(st_a.velocity),
+                               np.asarray(st_b.velocity),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_a.color),
+                               np.asarray(st_b.color),
+                               rtol=1e-4, atol=1e-4)
