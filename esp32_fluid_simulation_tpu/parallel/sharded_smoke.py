@@ -1,0 +1,173 @@
+"""Sharded 3D smoke step (BASELINE config 5: 256^3 plume over a mesh).
+
+The vertical axis (D, axis -3) stays local to every shard; the horizontal
+axes shard over the ``(x, y)`` mesh exactly like the 2D step — halo windows
+for the advection backtrace, per-half-sweep pressure halos, BC kernels only
+on global-edge shards.  Parity vs the single-device ``models.smoke3d`` step
+is pinned in tests/test_sharded_smoke.py on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from ..models.smoke3d import SmokeConfig, SmokeState, _source_mask
+from ..ops.advect import sample_linear
+from .halo import exchange_halo
+from .topology import X_AXIS, Y_AXIS
+
+
+def sharded_smoke_sharding(cfg: SmokeConfig, mesh: Mesh):
+    vol = P(None, None, X_AXIS, Y_AXIS)   # [3, D, H, W]
+    scal = P(None, X_AXIS, Y_AXIS)        # [D, H, W]
+    return SmokeState(
+        velocity=NamedSharding(mesh, vol),
+        density=NamedSharding(mesh, scal),
+        temperature=NamedSharding(mesh, scal),
+        step=NamedSharding(mesh, P()),
+    )
+
+
+def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
+                            donate: bool = True):
+    D, H, W = cfg.shape
+    nx = mesh.shape[X_AXIS]
+    ny = mesh.shape[Y_AXIS]
+    if H % nx or W % ny:
+        raise ValueError(f"grid {cfg.shape} not divisible by mesh ({nx},{ny})")
+    lh, lw = H // nx, W // ny
+    k = max_disp + 1
+    dt, dx = cfg.dt, cfg.dx
+    f32 = jnp.float32
+
+    def _exchange2(x, width, bcs=("zero", "zero")):
+        x = exchange_halo(x, width, -2, X_AXIS, nx, bcs[0])
+        x = exchange_halo(x, width, -1, Y_AXIS, ny, bcs[1])
+        return x
+
+    def coords():
+        ox = lax.axis_index(X_AXIS) * lh
+        oy = lax.axis_index(Y_AXIS) * lw
+        shp = (D, lh, lw)
+        zz = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + ox
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 2) + oy
+        return zz, ii, jj, ox, oy
+
+    def advect_local(field, vel, zz, ii, jj, ox, oy, no_slip):
+        fpad = _exchange2(field, k)
+        gz = zz.astype(f32)
+        gi = ii.astype(f32)
+        gj = jj.astype(f32)
+        sz_raw = gz - vel[0].astype(f32) * f32(dt)
+        si_raw = gi - vel[1].astype(f32) * f32(dt)
+        sj_raw = gj - vel[2].astype(f32) * f32(dt)
+        sz = jnp.clip(sz_raw, 0.0, f32(D - 1))   # vertical axis fully local
+        si = jnp.clip(jnp.clip(si_raw, gi - max_disp, gi + max_disp),
+                      0.0, f32(H - 1))
+        sj = jnp.clip(jnp.clip(sj_raw, gj - max_disp, gj + max_disp),
+                      0.0, f32(W - 1))
+        li = si - ox.astype(f32) + f32(k)
+        lj = sj - oy.astype(f32) + f32(k)
+        out = sample_linear(fpad, (sz, li, lj), no_slip=False)
+        if no_slip:
+            from ..ops.advect import noslip_axis_factor
+            fac = (noslip_axis_factor(sz_raw, D)
+                   * noslip_axis_factor(si_raw, H)
+                   * noslip_axis_factor(sj_raw, W))
+            out = out * fac.astype(out.dtype)
+        return out
+
+    def divergence_local(vel):
+        inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+        vz = vel[0]
+        # vertical axis: local reflect-negate ghosts (finitediff.cpp:17-20)
+        lo = -vz[:1]
+        hi = -vz[-1:]
+        vz_e = jnp.concatenate([lo, vz, hi], axis=0)
+        flow = vz_e[2:] - vz_e[:-2]
+        vx = _exchange2(vel[1], 1, ("reflect_neg", "zero"))
+        vy = _exchange2(vel[2], 1, ("zero", "reflect_neg"))
+        flow = flow + (vx[:, 2:, 1:-1] - vx[:, :-2, 1:-1])
+        flow = flow + (vy[:, 1:-1, 2:] - vy[:, 1:-1, :-2])
+        return flow * inv
+
+    def gradient_sub_local(vel, p):
+        inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+        pz = jnp.concatenate([p[:1], p, p[-1:]], axis=0)  # Neumann clamp
+        gz = (pz[2:] - pz[:-2]) * inv
+        ppad = _exchange2(p, 1, ("edge", "edge"))
+        gx = (ppad[:, 2:, 1:-1] - ppad[:, :-2, 1:-1]) * inv
+        gy = (ppad[:, 1:-1, 2:] - ppad[:, 1:-1, :-2]) * inv
+        return vel - jnp.stack([gz, gx, gy], axis=0)
+
+    def sor_local(d, zz, ii, jj):
+        parity = (zz + ii + jj) % 2
+        a = (6
+             - (zz == 0).astype(jnp.int32) - (zz == D - 1).astype(jnp.int32)
+             - (ii == 0).astype(jnp.int32) - (ii == H - 1).astype(jnp.int32)
+             - (jj == 0).astype(jnp.int32) - (jj == W - 1).astype(jnp.int32))
+        lut = jnp.asarray(
+            (-1.0 / np.arange(1, 7, dtype=np.float64)).astype(np.float32),
+            d.dtype)
+        neg_inv = lut[a - 1]
+        w = jnp.asarray(cfg.omega, d.dtype)
+        one_m_w = jnp.asarray(1.0 - cfg.omega, d.dtype)
+        dxd = jnp.asarray(dx, d.dtype) * d
+        zrow = jnp.zeros_like(d[:1])
+        p = jnp.zeros_like(d)
+        for _ in range(cfg.sor_iters):
+            for color in (0, 1):
+                nb = (jnp.concatenate([zrow, p[:-1]], 0)
+                      + jnp.concatenate([p[1:], zrow], 0))
+                ppad = _exchange2(p, 1)
+                nb = nb + (ppad[:, :-2, 1:-1] + ppad[:, 2:, 1:-1]
+                           + ppad[:, 1:-1, :-2] + ppad[:, 1:-1, 2:])
+                p_new = one_m_w * p + w * (neg_inv * (dxd - nb))
+                p = jnp.where(parity == color, p_new, p)
+        return p
+
+    src_global = _source_mask(cfg)
+
+    def local_step(state: SmokeState) -> SmokeState:
+        zz, ii, jj, ox, oy = coords()
+        vel, rho, temp = state.velocity, state.density, state.temperature
+
+        vel = advect_local(vel, vel, zz, ii, jj, ox, oy, no_slip=True)
+        rho = advect_local(rho, vel, zz, ii, jj, ox, oy, no_slip=False)
+        temp = advect_local(temp, vel, zz, ii, jj, ox, oy, no_slip=False)
+
+        # local slice of the global source mask, via dynamic_slice at the
+        # shard offset (the mask is a trace-time numpy constant)
+        src_full = jnp.asarray(src_global, rho.dtype)
+        src = lax.dynamic_slice(src_full, (0, ox, oy), (D, lh, lw))
+        rho = jnp.minimum(rho + dt * cfg.source_density * src, 1.0)
+        temp = temp + dt * cfg.source_temperature * src
+
+        buoy = (cfg.buoyancy_alpha * temp - cfg.buoyancy_beta * rho) * dt
+        vel = vel.at[0].add(-buoy)
+
+        div = divergence_local(vel)
+        p = sor_local(div, zz, ii, jj)
+        vel = gradient_sub_local(vel, p)
+
+        if cfg.dissipation > 0:
+            decay = 1.0 - cfg.dissipation * dt
+            rho = rho * decay
+            temp = temp * decay
+
+        return SmokeState(velocity=vel, density=rho, temperature=temp,
+                          step=state.step + 1)
+
+    vol = P(None, None, X_AXIS, Y_AXIS)
+    scal = P(None, X_AXIS, Y_AXIS)
+    spec = SmokeState(velocity=vol, density=scal, temperature=scal, step=P())
+    fn = shard_map(local_step, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,37 @@
+"""Sharded 3D smoke vs single-device parity (BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esp32_fluid_simulation_tpu.models.smoke3d import (SmokeConfig, init_smoke,
+                                                       make_smoke_step)
+from esp32_fluid_simulation_tpu.parallel import make_mesh
+from esp32_fluid_simulation_tpu.parallel.sharded_smoke import (
+    make_sharded_smoke_step, sharded_smoke_sharding)
+
+
+def test_sharded_smoke_matches_single_device():
+    # SOR solver on both sides (the sharded path has no multigrid yet);
+    # small max_disp is fine for a young plume's velocities
+    cfg = SmokeConfig(shape=(16, 16, 32), solver="sor", sor_iters=6,
+                      omega=1.5)
+    mesh = make_mesh(jax.devices()[:8], grid_shape=(2, 4))
+
+    single = make_smoke_step(cfg, donate=False)
+    st = init_smoke(cfg)
+    for _ in range(8):
+        st = single(st)
+
+    sharded = make_sharded_smoke_step(cfg, mesh, max_disp=4, donate=False)
+    st_sh = jax.device_put(init_smoke(cfg), sharded_smoke_sharding(cfg, mesh))
+    for _ in range(8):
+        st_sh = sharded(st_sh)
+
+    np.testing.assert_allclose(np.asarray(st_sh.density),
+                               np.asarray(st.density),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.max(st_sh.density)) > 0.01  # the plume exists
