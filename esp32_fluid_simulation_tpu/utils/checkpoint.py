@@ -25,6 +25,27 @@ from ..config import SimConfig
 from ..state import SimState
 
 
+def save_checkpoint_orbax(path: str, state, cfg: SimConfig) -> None:
+    """Orbax checkpoint (for large / sharded states: saves per-shard without
+    gathering to host).  Plain npz (`save_checkpoint`) is the default for
+    single-chip states."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state._asdict(), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.abspath(path) + os.sep + "sim_params.json", "w") as f:
+        f.write(cfg.to_json())
+
+
+def load_checkpoint_orbax(path: str, template) -> tuple:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template._asdict())
+    with open(os.path.abspath(path) + os.sep + "sim_params.json") as f:
+        cfg = SimConfig.from_json(f.read())
+    return type(template)(**restored), cfg
+
+
 def save_checkpoint(path: str, state: SimState, cfg: SimConfig) -> None:
     """Atomic npz checkpoint of {velocity, color, step} + config JSON."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -153,3 +153,16 @@ def test_scripted_swirl_impulses():
     assert bool(jnp.any(imp.active))
     assert int(jnp.max(imp.pos[:, 0])) < 61
     assert int(jnp.max(imp.pos[:, 1])) < 81
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from esp32_fluid_simulation_tpu.utils.checkpoint import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+    cfg = SimConfig(shape=(17, 19))
+    state = init_state(cfg)
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, state, cfg)
+    state2, cfg2 = load_checkpoint_orbax(path, state)
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(np.asarray(state.color),
+                                  np.asarray(state2.color))
