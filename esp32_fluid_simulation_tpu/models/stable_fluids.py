@@ -122,14 +122,24 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
     if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
 
-    div = divergence(vel, cfg.dx)
-    p = poisson_solve(div, cfg)
-    vel = subtract_gradient(vel, p, cfg.dx)
+    vel = _project(vel, cfg)
 
     color = adv(state.color, vel, cfg.dt, no_slip=False)
     color = jnp.clip(color, 0.0, 1.0) if cfg.advector == "semilag" else color
 
     return SimState(velocity=vel, color=color, step=state.step + 1)
+
+
+def _project(vel: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Pressure projection (``.ino:271-278``): composed ops, or the fully
+    fused div->SOR->grad Pallas kernel (one velocity read/write)."""
+    if cfg.solver == "fused_pallas":
+        from ..ops.pallas.project import project_fused_pallas
+        vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega)
+        return vel
+    div = divergence(vel, cfg.dx)
+    p = poisson_solve(div, cfg)
+    return subtract_gradient(vel, p, cfg.dx)
 
 
 def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
@@ -144,8 +154,12 @@ def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
 
     div = divergence(vel, cfg.dx)
-    p = poisson_solve(div, cfg)
-    vel = subtract_gradient(vel, p, cfg.dx)
+    if cfg.solver == "fused_pallas":
+        from ..ops.pallas.project import project_fused_pallas
+        vel, p = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega)
+    else:
+        p = poisson_solve(div, cfg)
+        vel = subtract_gradient(vel, p, cfg.dx)
     div_post = divergence(vel, cfg.dx)
 
     color = adv(state.color, vel, cfg.dt, no_slip=False)

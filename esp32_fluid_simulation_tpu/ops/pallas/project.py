@@ -1,0 +1,159 @@
+"""Fully-fused pressure projection: divergence -> red-black SOR ->
+gradient-subtract in ONE Pallas kernel (SURVEY.md §7.4b).
+
+The projection pipeline (``.ino:271-278``) touches three full fields per
+pass when composed from separate ops; fused with overlapped tiling it reads
+the velocity window once and writes the projected velocity (plus pressure,
+for observability) once.  Halo bookkeeping: producing a correct projected
+tile needs pressure valid one ring out (gradient stencil), pressure valid at
+ring r needs ``2*iters`` more rings (one per half-sweep), and divergence at
+the outermost pressure ring needs one more ring of velocity — so the
+velocity halo is ``2*iters + 2`` cells, rounded up to hardware tiles.
+
+Boundary conditions are evaluated from global coordinates inside the kernel,
+exactly as the separate ops do: reflected-ghost velocity for divergence
+(``finitediff.cpp:17-20``), zero-ghost neighbor sums + variable ``a_ii``
+Neumann diagonal for SOR (``poisson.cpp:63-90``), edge-clamped pressure for
+the gradient (``finitediff.cpp:51-54``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _project_kernel(v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
+                    *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    row0 = r * tile_h
+    col0 = c * tile_w
+    wh = tile_h + 2 * pr
+    ww = tile_w + 2 * pc
+
+    dma = pltpu.make_async_copy(
+        v_hbm.at[:, pl.ds(row0, wh), pl.ds(col0, ww)], vwin_vmem, sem)
+    dma.start()
+
+    f32 = jnp.float32
+    gi = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + (row0 - pr)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + (col0 - pc)
+    in_dom = (gi >= 0) & (gi < h) & (gj >= 0) & (gj < w)
+    parity_is_even = ((gi + gj) % 2) == 0
+    at_i_lo = gi == 0
+    at_i_hi = gi == h - 1
+    at_j_lo = gj == 0
+    at_j_hi = gj == w - 1
+
+    a = (4 - at_i_lo.astype(jnp.int32) - at_i_hi.astype(jnp.int32)
+         - at_j_lo.astype(jnp.int32) - at_j_hi.astype(jnp.int32))
+    neg_inv = jnp.where(a == 4, f32(np.float32(-0.25)),
+                        jnp.where(a == 3, f32(np.float32(-1.0 / 3.0)),
+                                  f32(np.float32(-0.5))))
+
+    dma.wait()
+    vx = jnp.where(in_dom, vwin_vmem[0].astype(f32), 0.0)
+    vy = jnp.where(in_dom, vwin_vmem[1].astype(f32), 0.0)
+
+    zrow = jnp.zeros((1, ww), f32)
+    zcol = jnp.zeros((wh, 1), f32)
+
+    def up(x):
+        return jnp.concatenate([zrow, x[:-1, :]], axis=0)   # x[i-1, j]
+
+    def dn(x):
+        return jnp.concatenate([x[1:, :], zrow], axis=0)    # x[i+1, j]
+
+    def lf(x):
+        return jnp.concatenate([zcol, x[:, :-1]], axis=1)   # x[i, j-1]
+
+    def rt(x):
+        return jnp.concatenate([x[:, 1:], zcol], axis=1)    # x[i, j+1]
+
+    inv2dx = f32(1.0 / (2.0 * dx))
+    # divergence with reflected ghosts at global walls (finitediff.cpp:9-31):
+    # the out-of-domain neighbor contributes -v of the center cell
+    t_up = jnp.where(at_i_lo, -vx, up(vx))     # value at i-1 (ghost=-center)
+    t_dn = jnp.where(at_i_hi, -vx, dn(vx))     # value at i+1
+    t_lf = jnp.where(at_j_lo, -vy, lf(vy))
+    t_rt = jnp.where(at_j_hi, -vy, rt(vy))
+    # safe-kernel accumulation order: (-left + right) + (-down + up)
+    div = ((-t_up + t_dn) + (-t_lf + t_rt)) * inv2dx
+    dxd = jnp.where(in_dom, f32(dx) * div, 0.0)
+
+    wgt = f32(omega)
+    one_m_w = f32(1.0 - omega)
+    p = jnp.zeros((wh, ww), f32)
+    for half in range(2 * iters):
+        nb = ((up(p) + dn(p)) + lf(p)) + rt(p)
+        p_new = one_m_w * p + wgt * (neg_inv * (dxd - nb))
+        mask = parity_is_even if (half % 2) == 0 else ~parity_is_even
+        p = jnp.where(mask & in_dom, p_new, jnp.where(in_dom, p, 0.0))
+
+    # gradient subtract with Neumann edge clamp (finitediff.cpp:41-73)
+    p_im1 = jnp.where(at_i_lo, p, up(p))
+    p_ip1 = jnp.where(at_i_hi, p, dn(p))
+    p_jm1 = jnp.where(at_j_lo, p, lf(p))
+    p_jp1 = jnp.where(at_j_hi, p, rt(p))
+    vx_out = vx - (p_ip1 - p_im1) * inv2dx
+    vy_out = vy - (p_jp1 - p_jm1) * inv2dx
+
+    sl = (slice(pr, pr + tile_h), slice(pc, pc + tile_w))
+    vout_ref[0] = vx_out[sl].astype(vout_ref.dtype)
+    vout_ref[1] = vy_out[sl].astype(vout_ref.dtype)
+    pout_ref[:, :] = p[sl].astype(pout_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dx", "iters", "omega", "tile_h",
+                                    "tile_w"))
+def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
+                         omega: float = 1.96, tile_h: int = 128,
+                         tile_w: int = 1024):
+    """(projected velocity, pressure) — replaces divergence + sor_solve +
+    subtract_gradient for 2D grids."""
+    _, h, w = vel.shape
+    halo = 2 * iters + 2
+    pr = _cdiv(halo, 8) * 8
+    pc = _cdiv(halo, 128) * 128
+    th = min(tile_h, _cdiv(h, 8) * 8)
+    tw = min(tile_w, _cdiv(w, 128) * 128)
+    hp = _cdiv(h, th) * th
+    wp = _cdiv(w, tw) * tw
+
+    vpad = jnp.pad(vel, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
+
+    kernel = functools.partial(
+        _project_kernel, iters=iters, omega=omega, dx=dx,
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w)
+
+    vout, pout = pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((2, th, tw), lambda r, c: (0, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, hp, wp), vel.dtype),
+            jax.ShapeDtypeStruct((hp, wp), vel.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(vpad)
+    return vout[:, :h, :w], pout[:h, :w]

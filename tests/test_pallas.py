@@ -89,3 +89,33 @@ def test_step_with_pallas_solver(rng):
     np.testing.assert_allclose(np.asarray(st_a.color),
                                np.asarray(st_b.color),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_project_fused_matches_composed(rng):
+    from esp32_fluid_simulation_tpu.ops.pallas.project import (
+        project_fused_pallas)
+    from esp32_fluid_simulation_tpu.ops.fd import (divergence,
+                                                   subtract_gradient)
+    v = jnp.asarray((5 * rng.standard_normal((2, 130, 200))).astype(F))
+    d = divergence(v, 1.0)
+    p_ref = sor_solve(d, 1.0, 10, 1.96)
+    v_ref = subtract_gradient(v, p_ref, 1.0)
+    v_out, p_out = project_fused_pallas(v, 1.0, 10, 1.96,
+                                        tile_h=64, tile_w=128)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_ref),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_step_with_fused_projection(rng):
+    from esp32_fluid_simulation_tpu import (SimConfig, Impulses, init_state,
+                                            make_step)
+    cfg = SimConfig(shape=(64, 96), solver="fused_pallas")
+    ref = SimConfig(shape=(64, 96), solver="sor")
+    imp = Impulses.from_lists(cfg, [(30, 40)], [(150.0, -100.0)])
+    st_a = make_step(cfg, donate=False)(init_state(cfg), imp)
+    st_b = make_step(ref, donate=False)(init_state(ref), imp)
+    np.testing.assert_allclose(np.asarray(st_a.velocity),
+                               np.asarray(st_b.velocity),
+                               rtol=1e-4, atol=1e-4)
