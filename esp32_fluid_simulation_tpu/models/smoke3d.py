@@ -42,6 +42,7 @@ class SmokeConfig:
     buoyancy_alpha: float = 8.0    # thermal lift
     buoyancy_beta: float = 2.0     # smoke weight
     dissipation: float = 0.0       # per-step scalar decay
+    vorticity_eps: float = 0.0     # 3D vorticity confinement strength
     source_center: Tuple[float, float, float] = (0.9, 0.5, 0.5)  # fractional
     source_radius: float = 0.08    # fractional
     source_density: float = 1.0
@@ -99,6 +100,9 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
     # 3. buoyancy along -axis0 (low indices = up): hot+light rises
     buoy = (cfg.buoyancy_alpha * temp - cfg.buoyancy_beta * rho) * dt
     vel = vel.at[0].add(-buoy)
+    if cfg.vorticity_eps > 0:
+        from ..ops.fd import vorticity_confinement
+        vel = vorticity_confinement(vel, cfg.vorticity_eps, dt, cfg.dx)
 
     # 4. pressure projection (same Neumann system as 2D, in 3D)
     div = divergence(vel, cfg.dx)

@@ -74,20 +74,52 @@ def curl2d(vel: jax.Array, dx: float = 1.0) -> jax.Array:
             - _shift_edge_clamp(vel[0], axis=1)) * two_dx_inv
 
 
+def curl3d(vel: jax.Array, dx: float = 1.0) -> jax.Array:
+    """Vector vorticity w = curl(v) (edge-clamped central differences).
+    vel: ``[3, D, H, W]`` -> ``[3, D, H, W]``."""
+    inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+
+    def d(comp, axis):
+        return _shift_edge_clamp(vel[comp], axis=axis) * inv
+
+    return jnp.stack([
+        d(2, 1) - d(1, 2),   # w0 = dv2/dx1 - dv1/dx2
+        d(0, 2) - d(2, 0),   # w1 = dv0/dx2 - dv2/dx0
+        d(1, 0) - d(0, 1),   # w2 = dv1/dx0 - dv0/dx1
+    ], axis=0)
+
+
 def vorticity_confinement(vel: jax.Array, eps: float, dt: float,
                           dx: float = 1.0) -> jax.Array:
-    """Add the Fedkiw-style vorticity-confinement force (2D).
+    """Add the Fedkiw-style vorticity-confinement force (2D or 3D).
 
-    f = eps * dx * (N x w),  N = grad|w| / (|grad|w|| + tiny); in 2D the cross
-    product with w z-hat gives (N1*w, -N0*w).  Counteracts the numerical
-    dissipation of semi-Lagrangian advection (BASELINE config 2).
+    f = eps * dx * (N x w),  N = grad|w| / (|grad|w|| + tiny).  Counteracts
+    the numerical dissipation of semi-Lagrangian advection (BASELINE
+    configs 2/5).
     """
-    w = curl2d(vel, dx)
-    aw = jnp.abs(w)
+    nd = vel.shape[0]
     two_dx_inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
-    g0 = _shift_edge_clamp(aw, axis=0) * two_dx_inv
-    g1 = _shift_edge_clamp(aw, axis=1) * two_dx_inv
-    mag = jnp.sqrt(g0 * g0 + g1 * g1) + jnp.asarray(1e-6, vel.dtype)
-    n0, n1 = g0 / mag, g1 / mag
-    f = jnp.stack([n1 * w, -n0 * w], axis=0)
+    tiny = jnp.asarray(1e-6, vel.dtype)
+    if nd == 2:
+        w = curl2d(vel, dx)
+        aw = jnp.abs(w)
+        g0 = _shift_edge_clamp(aw, axis=0) * two_dx_inv
+        g1 = _shift_edge_clamp(aw, axis=1) * two_dx_inv
+        mag = jnp.sqrt(g0 * g0 + g1 * g1) + tiny
+        n0, n1 = g0 / mag, g1 / mag
+        # in 2D: N x (w z-hat) = (N1*w, -N0*w)
+        f = jnp.stack([n1 * w, -n0 * w], axis=0)
+    else:
+        w = curl3d(vel, dx)
+        aw = jnp.sqrt(jnp.sum(w * w, axis=0))
+        g = jnp.stack(
+            [_shift_edge_clamp(aw, axis=k) * two_dx_inv for k in range(3)],
+            axis=0)
+        mag = jnp.sqrt(jnp.sum(g * g, axis=0)) + tiny
+        n = g / mag
+        f = jnp.stack([
+            n[1] * w[2] - n[2] * w[1],
+            n[2] * w[0] - n[0] * w[2],
+            n[0] * w[1] - n[1] * w[0],
+        ], axis=0)
     return vel + (eps * dx * dt) * f

@@ -70,3 +70,42 @@ def test_ensemble_members_independent():
     s = single(s, Impulses.none(cfg))
     np.testing.assert_allclose(v[2], np.asarray(s.velocity),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_smoke_with_vorticity_confinement():
+    cfg = SmokeConfig(shape=(24, 20, 20), vorticity_eps=3.0, mg_cycles=1)
+    fn = make_smoke_step(cfg, donate=False)
+    st = init_smoke(cfg)
+    for _ in range(10):
+        st = fn(st)
+    assert np.isfinite(np.asarray(st.velocity)).all()
+    assert np.isfinite(np.asarray(st.density)).all()
+
+
+def test_curl3d_rigid_rotation():
+    from esp32_fluid_simulation_tpu.ops.fd import curl3d
+    d = h = w = 12
+    # v = Omega x r with Omega = (2, 0, 0): v = (0, -2*z2', 2*z1')
+    z1 = np.arange(h, dtype=F)[None, :, None] - h / 2
+    z2 = np.arange(w, dtype=F)[None, None, :] - w / 2
+    v = np.zeros((3, d, h, w), F)
+    v[1] = np.broadcast_to(-2 * z2, (d, h, w))
+    v[2] = np.broadcast_to(2 * z1, (d, h, w))
+    c = np.asarray(curl3d(jnp.asarray(v)))
+    np.testing.assert_allclose(c[0][1:-1, 1:-1, 1:-1], 4.0, atol=1e-5)
+    np.testing.assert_allclose(c[1][1:-1, 1:-1, 1:-1], 0.0, atol=1e-5)
+    np.testing.assert_allclose(c[2][1:-1, 1:-1, 1:-1], 0.0, atol=1e-5)
+
+
+def test_checked_step_localizes_nan():
+    from esp32_fluid_simulation_tpu.utils.debug import make_checked_step
+    from esp32_fluid_simulation_tpu import SimState
+    cfg = SimConfig(shape=(17, 19))
+    fn = make_checked_step(cfg)
+    st = init_state(cfg)
+    err, out = fn(st, Impulses.none(cfg))
+    assert err.get() is None  # clean step -> no error
+    bad = SimState(velocity=st.velocity.at[0, 3, 3].set(jnp.nan),
+                   color=st.color, step=st.step)
+    err2, _ = fn(bad, Impulses.none(cfg))
+    assert err2.get() is not None and "nan" in str(err2.get()).lower()
