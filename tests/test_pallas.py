@@ -119,3 +119,15 @@ def test_step_with_fused_projection(rng):
     np.testing.assert_allclose(np.asarray(st_a.velocity),
                                np.asarray(st_b.velocity),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,s", [((61, 81), 4), ((33, 130), 4),
+                                     ((17, 129), 2)])
+def test_render_pallas_bit_exact(rng, shape, s):
+    from esp32_fluid_simulation_tpu.render.pallas_upscale import (
+        render_rgb565_pallas)
+    from esp32_fluid_simulation_tpu.render import render_rgb565
+    c = jnp.asarray(rng.random((3,) + shape, dtype=F))
+    a = np.asarray(render_rgb565(c, s=s))
+    b = np.asarray(render_rgb565_pallas(c, s=s, tile_h=16, tile_w=128))
+    np.testing.assert_array_equal(a, b)

@@ -74,3 +74,31 @@ def test_projection_reduces_divergence():
     # impulse's divergence — expect a solid reduction, not elimination.
     assert float(m["div_post_max"]) < 0.75 * float(m["div_pre_max"])
     assert bool(m["finite"])
+
+
+def test_fuzzed_step_parity(rng):
+    """Randomized impulse schedules, 6 steps, full oracle parity at the
+    reference grid — the golden-dump workflow as a property test."""
+    cfg = SimConfig()
+    h, w = cfg.shape
+    state = init_state(cfg)
+    step_fn = make_step(cfg, donate=False)
+    vel_o = np.zeros((h, w, 2), F)
+    col_o = oracle.init_color(h, w)
+    for t in range(6):
+        n = int(rng.integers(0, 5))
+        imps = [((int(rng.integers(0, h)), int(rng.integers(0, w))),
+                 (float(rng.uniform(-250, 250)), float(rng.uniform(-250, 250))))
+                for _ in range(n)]
+        pos = [p for p, _ in imps]
+        vel = [v for _, v in imps]
+        state = step_fn(state, Impulses.from_lists(cfg, pos, vel))
+        vel_o, col_o, _, _ = oracle.step(vel_o, col_o, imps, dt=cfg.dt,
+                                         dx=cfg.dx, iters=cfg.sor_iters,
+                                         omega=cfg.omega)
+    np.testing.assert_allclose(np.asarray(state.velocity),
+                               np.moveaxis(vel_o, -1, 0),
+                               rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(state.color),
+                               np.clip(np.moveaxis(col_o, -1, 0), 0, 1),
+                               rtol=2e-4, atol=5e-4)
