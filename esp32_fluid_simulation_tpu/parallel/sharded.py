@@ -67,12 +67,15 @@ def _exchange2(x, width, nx, ny, bcs=("zero", "zero")):
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
-                      donate: bool = True):
+                      donate: bool = True, sor_halo: int = 1):
     """Build a jitted sharded ``step(state, impulses) -> state``.
 
     ``max_disp``: advection CFL clamp in cells — sets the halo width, so it
     bounds ICI traffic as well as the backtrace (see ops/pallas/advect.py).
+    ``sor_halo``: pressure-halo depth; k trades k-ring redundant compute for
+    ~k-fold fewer SOR collectives (see ``sor_local``).
     """
+    halo_k = sor_halo
     if cfg.ndim != 2:
         raise NotImplementedError("sharded step is 2D for now")
     H, W = cfg.shape
@@ -124,28 +127,62 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         return vel - jnp.stack([gx, gy], axis=0)
 
     def sor_local(d, ii, jj):
-        """Red-black SOR with per-half-sweep halo refresh; global parity and
-        global Neumann diagonal (``poisson.cpp:10-12, 67-89``)."""
-        parity = (ii + jj) % 2
-        a = (4
-             - (ii == 0).astype(jnp.int32) - (ii == H - 1).astype(jnp.int32)
-             - (jj == 0).astype(jnp.int32) - (jj == W - 1).astype(jnp.int32))
+        """Red-black SOR over the mesh with a tunable halo depth.
+
+        ``sor_halo = 1`` exchanges a 1-wide strip before every half-sweep
+        (minimum traffic, maximum collective count).  ``sor_halo = k``
+        exchanges a k-wide strip once per k half-sweeps and runs those
+        half-sweeps on the extended block — each half-sweep invalidates one
+        ring, so the owned block stays exact (the shard_map rendition of the
+        fused Pallas kernel's trapezoidal tiling).  Collectives per solve
+        drop from ``2*iters`` to ``ceil(2*iters/k) (+1 for d's halo``).
+        Global parity and the Neumann diagonal follow poisson.cpp:10-12,
+        67-89.
+        """
+        k = max(1, min(halo_k, 2 * cfg.sor_iters))
         lut = jnp.asarray(
             (-1.0 / np.arange(1, 5, dtype=np.float64)).astype(np.float32),
             d.dtype)
-        neg_inv = lut[a - 1]
+
+        def stencil_consts(gi, gj):
+            a = (4 - (gi == 0).astype(jnp.int32)
+                 - (gi == H - 1).astype(jnp.int32)
+                 - (gj == 0).astype(jnp.int32)
+                 - (gj == W - 1).astype(jnp.int32))
+            in_dom = (gi >= 0) & (gi < H) & (gj >= 0) & (gj < W)
+            return (gi + gj) % 2, lut[a - 1], in_dom
+
         w = jnp.asarray(cfg.omega, d.dtype)
         one_m_w = jnp.asarray(1.0 - cfg.omega, d.dtype)
-        dxd = jnp.asarray(dx, d.dtype) * d
+
+        # padded-block coords (block (0,0) is global (ox-k, oy-k))
+        gi = (jax.lax.broadcasted_iota(jnp.int32, (lh + 2 * k, lw + 2 * k), 0)
+              + (ii[0, 0] - k))
+        gj = (jax.lax.broadcasted_iota(jnp.int32, (lh + 2 * k, lw + 2 * k), 1)
+              + (jj[0, 0] - k))
+        parity, neg_inv, in_dom = stencil_consts(gi, gj)
+        dxd = jnp.asarray(dx, d.dtype) * _exchange2(d, k, nx, ny)
+        dxd = jnp.where(in_dom, dxd, 0.0)
+
+        zrow = jnp.zeros((1, lw + 2 * k), d.dtype)
+        zcol = jnp.zeros((lh + 2 * k, 1), d.dtype)
 
         p = jnp.zeros_like(d)
-        for _ in range(cfg.sor_iters):
-            for color in (0, 1):
-                ppad = _exchange2(p, 1, nx, ny)
-                nb = (ppad[:-2, 1:-1] + ppad[2:, 1:-1]
-                      + ppad[1:-1, :-2] + ppad[1:-1, 2:])
-                p_new = one_m_w * p + w * (neg_inv * (dxd - nb))
-                p = jnp.where(parity == color, p_new, p)
+        half = 0
+        while half < 2 * cfg.sor_iters:
+            n_here = min(k, 2 * cfg.sor_iters - half)
+            pp = _exchange2(p, k, nx, ny)
+            for m in range(n_here):
+                color = (half + m) % 2
+                nb = ((jnp.concatenate([zrow, pp[:-1]], 0)
+                       + jnp.concatenate([pp[1:], zrow], 0))
+                      + jnp.concatenate([zcol, pp[:, :-1]], 1)) \
+                    + jnp.concatenate([pp[:, 1:], zcol], 1)
+                p_new = one_m_w * pp + w * (neg_inv * (dxd - nb))
+                pp = jnp.where((parity == color) & in_dom, p_new,
+                               jnp.where(in_dom, pp, 0.0))
+            p = pp[k:-k, k:-k]
+            half += n_here
         return p
 
     def impulses_local(vel, imp: Impulses, ii, jj):

@@ -109,3 +109,20 @@ def test_batched_spatial_mesh_runs():
     assert v.shape == (2, 2, 32, 64) and np.isfinite(v).all()
     # both members identical (same inputs)
     np.testing.assert_allclose(v[0], v[1], atol=0)
+
+
+@pytest.mark.parametrize("sor_halo", [2, 5, 20])
+def test_sharded_sor_halo_depths_exact(cfg, sor_halo):
+    """Wider SOR halos (fewer collectives, redundant ring compute) must be
+    numerically identical to per-half-sweep exchange."""
+    mesh = _mesh_2x4()
+    st = _kicked_state(cfg, steps=2)
+    imp = Impulses.from_lists(cfg, [(10, 10)], [(50.0, 80.0)])
+    sh = sharded_state_sharding(cfg, mesh)
+    st_sh = jax.device_put(st, sh)
+    base = make_sharded_step(cfg, mesh, donate=False, sor_halo=1)(st_sh, imp)
+    wide = make_sharded_step(cfg, mesh, donate=False,
+                             sor_halo=sor_halo)(st_sh, imp)
+    np.testing.assert_allclose(np.asarray(wide.velocity),
+                               np.asarray(base.velocity),
+                               rtol=2e-6, atol=2e-6)
