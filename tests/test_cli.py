@@ -64,3 +64,16 @@ def test_cli_watchdog(tmp_path, capsys):
     run_main(["--grid", "17", "25", "--steps", "4", "--watchdog"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["watchdog_resets"] == 0
+
+
+def test_roofline_estimates():
+    from esp32_fluid_simulation_tpu.utils.roofline import (speed_of_light,
+                                                           TPU_SPECS)
+    from esp32_fluid_simulation_tpu import SimConfig
+    cfg = SimConfig(shape=(4096, 4096), scaling=1)
+    fused = speed_of_light(cfg, "v5e", fused=True)
+    composed = speed_of_light(cfg, "v5e", fused=False)
+    assert fused["ideal_fps"] > composed["ideal_fps"] > 60
+    assert fused["bytes_per_step"] < composed["bytes_per_step"]
+    v5p = speed_of_light(cfg, "v5p", fused=True)
+    assert v5p["ideal_fps"] > fused["ideal_fps"]
