@@ -1,0 +1,229 @@
+"""Interactive web shell: the CYD touchscreen + LCD reborn as a browser tab.
+
+The reference's user surface is a 320x240 touch LCD: drag a finger, dye
+swirls (``touch_routine``/``draw_routine``).  Here a tiny dependency-free
+HTTP server streams the rendered frames as MJPEG (multipart) and accepts
+pointer drags back, feeding them through the same native lossy drag queue ->
+impulse path as the scripted schedules.  The sim/render producer and the
+HTTP consumers synchronize through the C++ FrameHandshake — the FreeRTOS
+semaphore pair, verbatim in role.
+
+Run:  python -m esp32_fluid_simulation_tpu.io_host.server --port 8000
+then open http://localhost:8000/ and drag on the canvas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import jax
+
+from ..config import SimConfig
+from ..state import Impulses
+from ..models.stable_fluids import init_state
+from ..models import make_step
+from ..render import render_rgb8
+from .native import DragQueue, FramePacer
+from .touch import drags_to_impulses
+
+_PAGE = """<!doctype html>
+<title>tpu-fluid</title>
+<style>body{background:#111;color:#eee;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;border:1px solid #444;touch-action:none}</style>
+<h3>tpu-fluid &mdash; drag to stir</h3>
+<img id="v" src="/stream" width="%WIDTH%" height="%HEIGHT%">
+<p id="s"></p>
+<script>
+const img = document.getElementById('v');
+let last = null, down = false;
+function cell(e) {
+  const r = img.getBoundingClientRect();
+  return [ (e.clientX - r.left) / r.width, (e.clientY - r.top) / r.height ];
+}
+function send(p, q) {
+  fetch('/drag', {method: 'POST', body: JSON.stringify({from: p, to: q})});
+}
+img.addEventListener('pointerdown', e => { down = true; last = cell(e); });
+img.addEventListener('pointermove', e => {
+  if (!down) return;
+  const c = cell(e);
+  send(last, c); last = c;
+});
+addEventListener('pointerup', () => { down = false; last = null; });
+</script>
+"""
+
+
+class SimServer:
+    def __init__(self, cfg: SimConfig, fps: float = 30.0):
+        self.cfg = cfg
+        self.fps = fps
+        self.queue = DragQueue(16)
+        self._step = make_step(cfg, donate=False)
+        self._frame_jpeg = b""
+        self._frame_lock = threading.Condition()
+        self._frame_no = 0
+        self._stop = threading.Event()
+        self.steps_done = 0
+
+    # -- input ------------------------------------------------------------
+    def drag(self, frm, to):
+        """Fractional screen coords -> sim-frame drag (the x/y swap of
+        .ino:258-267 happens here: screen row fraction -> axis 0)."""
+        h, w = self.cfg.shape[-2], self.cfg.shape[-1]
+        i0, j0 = frm[1] * (h - 1), frm[0] * (w - 1)
+        i1, j1 = to[1] * (h - 1), to[0] * (w - 1)
+        scale = self.fps  # one drag per frame: delta cells * fps = cells/s
+        self.queue.try_push(int(round(i1)), int(round(j1)),
+                            (i1 - i0) * scale, (j1 - j0) * scale)
+
+    # -- sim loop ---------------------------------------------------------
+    def _encode(self, rgb):
+        try:
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(rgb).save(buf, format="JPEG", quality=85)
+            return buf.getvalue()
+        except ImportError:  # raw PPM fallback
+            h, w, _ = rgb.shape
+            return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    def run_sim(self, n_frames=None):
+        state = init_state(self.cfg)
+        pacer = FramePacer(self.fps)
+        s = self.cfg.scaling
+        while not self._stop.is_set():
+            drags = self.queue.drain(self.cfg.max_impulses)
+            imp = drags_to_impulses(
+                [((j, i), (vj, vi)) for (i, j, vi, vj) in drags], self.cfg) \
+                if drags else Impulses.none(self.cfg)
+            state = self._step(state, imp)
+            rgb = np.moveaxis(np.asarray(render_rgb8(state.color, s=s)),
+                              0, -1)
+            jpeg = self._encode(np.ascontiguousarray(rgb))
+            with self._frame_lock:
+                self._frame_jpeg = jpeg
+                self._frame_no += 1
+                self._frame_lock.notify_all()
+            self.steps_done += 1
+            if n_frames and self.steps_done >= n_frames:
+                break
+            pacer.wait()
+        self._stop.set()
+        with self._frame_lock:
+            self._frame_lock.notify_all()
+
+    def next_frame(self, after, timeout=2.0):
+        with self._frame_lock:
+            if self._frame_no <= after:
+                self._frame_lock.wait(timeout)
+            return self._frame_jpeg, self._frame_no
+
+    def stop(self):
+        self._stop.set()
+
+
+def make_handler(sim: SimServer):
+    ho, wo = sim.cfg.render_shape
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/":
+                page = (_PAGE.replace("%WIDTH%", str(wo))
+                        .replace("%HEIGHT%", str(ho))).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            elif self.path == "/frame":
+                frame, _ = sim.next_frame(-1)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(frame)))
+                self.end_headers()
+                self.wfile.write(frame)
+            elif self.path == "/stream":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                seen = -1
+                try:
+                    while not sim._stop.is_set():
+                        frame, seen = sim.next_frame(seen)
+                        if not frame:
+                            continue
+                        self.wfile.write(b"--frame\r\n")
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        self.wfile.write(
+                            b"Content-Length: %d\r\n\r\n" % len(frame))
+                        self.wfile.write(frame)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            elif self.path == "/stats":
+                body = json.dumps({
+                    "steps": sim.steps_done,
+                    "queue_dropped": sim.queue.dropped,
+                    "shape": list(sim.cfg.shape),
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path == "/drag":
+                n = int(self.headers.get("Content-Length", 0))
+                msg = json.loads(self.rfile.read(n))
+                sim.drag(msg["from"], msg["to"])
+                self.send_response(204)
+                self.end_headers()
+            else:
+                self.send_error(404)
+
+    return Handler
+
+
+def serve(cfg: SimConfig, port: int = 8000, fps: float = 30.0,
+          n_frames=None):
+    sim = SimServer(cfg, fps=fps)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(sim))
+    sim_thread = threading.Thread(target=sim.run_sim, args=(n_frames,),
+                                  daemon=True, name="sim")
+    sim_thread.start()
+    return sim, httpd
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--grid", type=int, nargs=2, default=[61, 81])
+    ap.add_argument("--scaling", type=int, default=4)
+    ap.add_argument("--fps", type=float, default=30.0)
+    args = ap.parse_args(argv)
+    cfg = SimConfig(shape=tuple(args.grid), scaling=args.scaling)
+    sim, httpd = serve(cfg, port=args.port, fps=args.fps)
+    print(f"serving on http://127.0.0.1:{args.port}/")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        sim.stop()
+
+
+if __name__ == "__main__":
+    main()

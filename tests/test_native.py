@@ -103,3 +103,40 @@ def test_full_pipeline():
     assert all(np.isfinite(f).all() for f in frames)
     # the drag must have stirred the dye by the last frame
     assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_http_server_roundtrip():
+    """The interactive web shell: drags in over HTTP, frames out."""
+    import json
+    import urllib.request
+    from esp32_fluid_simulation_tpu import SimConfig
+    from esp32_fluid_simulation_tpu.io_host.server import serve
+
+    cfg = SimConfig(shape=(17, 25), sor_iters=4)
+    sim, httpd = serve(cfg, port=18731, fps=120.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:18731"
+        # wait for first frames
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            stats = json.loads(urllib.request.urlopen(base + "/stats",
+                                                      timeout=5).read())
+            if stats["steps"] > 3:
+                break
+            time.sleep(0.5)
+        assert stats["steps"] > 3
+        req = urllib.request.Request(
+            base + "/drag", method="POST",
+            data=json.dumps({"from": [0.4, 0.5], "to": [0.6, 0.5]}).encode())
+        assert urllib.request.urlopen(req, timeout=5).status == 204
+        f1 = urllib.request.urlopen(base + "/frame", timeout=5).read()
+        time.sleep(0.3)
+        f2 = urllib.request.urlopen(base + "/frame", timeout=5).read()
+        assert len(f1) > 100 and f1 != f2  # frames advance
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"/stream" in page and b"pointerdown" in page
+    finally:
+        sim.stop()
+        httpd.shutdown()
