@@ -110,39 +110,48 @@ def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
 
 
 def main():
+    import os
     from esp32_fluid_simulation_tpu import SimConfig
+
+    # BENCH_SMOKE=1: tiny shapes / no subprocess probe, for CI mechanics
+    # checks on CPU.  Real runs use the full sizes on the chip.
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    big_shape = (256, 256) if smoke else (4096, 4096)
+    sor_shape = (257, 257) if smoke else (4097, 4097)
+    n_ref, n_big = (5, 3) if smoke else (50, 10)
 
     results = {}
 
     # Reference workload (BASELINE config 1): 61x81 + 4x upscale to 320x240.
     ref_cfg = SimConfig()
-    results["ref_80x60_fps"] = bench_step_fps(ref_cfg, n=50, render=True,
+    results["ref_80x60_fps"] = bench_step_fps(ref_cfg, n=n_ref, render=True,
                                               render_s=4)
 
     # Probe the Pallas kernel path in a subprocess; pick the faster path for
     # the headline (the kernels are the intended production path, but the
     # bench must survive a wedged Mosaic compile service).
-    probe = probe_pallas_path()
+    probe = None if smoke else probe_pallas_path()
     use_pallas = probe is not None and probe.get("ms_per_step_1024", 1e9) < 200
     if probe:
         results["pallas_probe_ms_1024"] = probe["ms_per_step_1024"]
 
-    big_kwargs = dict(shape=(4096, 4096), scaling=1)
+    big_kwargs = dict(shape=big_shape, scaling=1)
     if use_pallas:
         big_kwargs.update(solver="fused_pallas", advect_impl="pallas")
     else:
         big_kwargs.update(advect_impl="jnp")
     big_cfg = SimConfig(**big_kwargs)
-    fps_4k = bench_step_fps(big_cfg, n=10, render=True, render_s=1)
+    fps_4k = bench_step_fps(big_cfg, n=n_big, render=True, render_s=1)
     results["fps_4096"] = fps_4k
     results["fps_4096_path"] = 1.0 if use_pallas else 0.0  # 1=pallas kernels
 
     # Config 2 flavor: 512^2 with vorticity confinement.
     results["fps_512_vort"] = bench_step_fps(
-        SimConfig(shape=(512, 512), vorticity_eps=2.0, advect_impl="jnp"),
-        n=20)
+        SimConfig(shape=(256, 256) if smoke else (512, 512),
+                  vorticity_eps=2.0, advect_impl="jnp"), n=n_big)
 
-    results["us_per_sor_sweep_4096"] = bench_sor_sweep_us()
+    results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
+                                                          n=3 if smoke else 10)
 
     out = {
         "metric": "sim+render FPS at 4096^2 (one chip)",
