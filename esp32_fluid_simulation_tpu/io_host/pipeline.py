@@ -30,7 +30,6 @@ from ..models.stable_fluids import init_state
 from ..models import make_step
 from ..render import render_rgb565
 from .native import DragQueue, FrameHandshake, FramePacer, rgb565_to_rgb888
-from .touch import drags_to_impulses
 
 
 class SimPipeline:
@@ -62,41 +61,54 @@ class SimPipeline:
         state = init_state(self.cfg)
         pacer = FramePacer(self.fps)
         s = self.cfg.scaling
-        for _ in range(n_frames):
-            if self._stop.is_set():
-                break
-            drags = self.queue.drain(self.cfg.max_impulses)
-            imp = drags_to_impulses(
-                [((j, i), (vj, vi)) for (i, j, vi, vj) in drags], self.cfg) \
-                if drags else Impulses.none(self.cfg)
-            state = self._step_fn(state, imp)
-            frame = render_rgb565(state.color, s=s)  # async dispatch
-            # 1-slot publish: wait until the consumer took the previous frame
-            self.handshake.producer_acquire()
-            self._frame_slot = (frame, None)
-            self.handshake.producer_publish()
-            pacer.wait()
-        self._stop.set()
-        self.handshake.producer_publish()  # unblock consumer for shutdown
+        try:
+            for _ in range(n_frames):
+                if self._stop.is_set():
+                    break
+                drags = self.queue.drain(self.cfg.max_impulses)
+                # queue entries are already sim-frame (i, j, vi, vj)
+                imp = (Impulses.from_lists(
+                           self.cfg, [(i, j) for i, j, _, _ in drags],
+                           [(vi, vj) for _, _, vi, vj in drags])
+                       if drags else Impulses.none(self.cfg))
+                state = self._step_fn(state, imp)
+                frame = render_rgb565(state.color, s=s)  # async dispatch
+                # 1-slot publish: wait until the consumer took the previous
+                # frame; poll the stop flag so a dead consumer can't wedge us
+                while not self.handshake.producer_acquire(timeout_ms=200):
+                    if self._stop.is_set():
+                        return
+                self._frame_slot = (frame, None)
+                self.handshake.producer_publish()
+                pacer.wait()
+        finally:
+            self._stop.set()
+            self.handshake.producer_publish()  # unblock consumer shutdown
 
     def _consumer_thread(self):
         n = 0
-        while True:
-            self.handshake.consumer_acquire()
-            if self._stop.is_set() and self._frame_slot is None:
-                break
-            frame, _ = self._frame_slot
-            self._frame_slot = None
+        try:
+            while True:
+                self.handshake.consumer_acquire()
+                if self._frame_slot is None:
+                    if self._stop.is_set():
+                        break
+                    continue
+                frame, _ = self._frame_slot
+                self._frame_slot = None
+                self.handshake.consumer_release()
+                host = np.asarray(jax.device_get(frame))  # blocks on fetch
+                rgb = rgb565_to_rgb888(host)
+                self.frame_sink(rgb, n)
+                n += 1
+                if self._stop.is_set():
+                    break
+        finally:
+            # a frame_sink exception must not strand the producer in
+            # producer_acquire: flag the stop and free the slot
+            self._stop.set()
             self.handshake.consumer_release()
-            if frame is None:
-                break
-            host = np.asarray(jax.device_get(frame))  # blocks on the fetch
-            rgb = rgb565_to_rgb888(host)
-            self.frame_sink(rgb, n)
-            n += 1
-            if self._stop.is_set():
-                break
-        self._frames_done = n
+            self._frames_done = n
 
     # -- run --------------------------------------------------------------
     def run(self, n_frames: int) -> int:

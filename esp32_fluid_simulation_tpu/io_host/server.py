@@ -30,7 +30,6 @@ from ..models.stable_fluids import init_state
 from ..models import make_step
 from ..render import render_rgb8
 from .native import DragQueue, FramePacer
-from .touch import drags_to_impulses
 
 _PAGE = """<!doctype html>
 <title>tpu-fluid</title>
@@ -100,9 +99,11 @@ class SimServer:
         s = self.cfg.scaling
         while not self._stop.is_set():
             drags = self.queue.drain(self.cfg.max_impulses)
-            imp = drags_to_impulses(
-                [((j, i), (vj, vi)) for (i, j, vi, vj) in drags], self.cfg) \
-                if drags else Impulses.none(self.cfg)
+            # queue entries are already sim-frame (i, j, vi, vj)
+            imp = (Impulses.from_lists(
+                       self.cfg, [(i, j) for i, j, _, _ in drags],
+                       [(vi, vj) for _, _, vi, vj in drags])
+                   if drags else Impulses.none(self.cfg))
             state = self._step(state, imp)
             rgb = np.moveaxis(np.asarray(render_rgb8(state.color, s=s)),
                               0, -1)

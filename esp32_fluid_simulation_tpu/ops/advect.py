@@ -179,4 +179,10 @@ def advect_maccormack(field: jax.Array, vel: jax.Array, dt: float,
     back_coords = _backtrace_coords(vel, dt, sign=-1.0)
     phi_back = sample_linear(phi_hat, back_coords, no_slip=no_slip)
     corrected = phi_hat + 0.5 * (field - phi_back)
+    # The clamp bounds must include the predictor: the stencil extrema are
+    # computed from UNdiscounted node values, so clamping to them alone would
+    # undo the no-slip wall discount baked into phi_hat (clamp-to-stencil
+    # would pull a discounted near-wall sample back up to the wall value).
+    cmin = jnp.minimum(cmin, phi_hat)
+    cmax = jnp.maximum(cmax, phi_hat)
     return jnp.clip(corrected, cmin, cmax)

@@ -78,6 +78,13 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
     halo_k = sor_halo
     if cfg.ndim != 2:
         raise NotImplementedError("sharded step is 2D for now")
+    if cfg.advector != "semilag":
+        raise NotImplementedError(
+            "sharded step supports advector='semilag' only (MacCormack "
+            "would silently change physics vs the single-device run)")
+    if cfg.solver not in ("sor",):
+        raise NotImplementedError(
+            f"sharded step supports solver='sor' only, got {cfg.solver!r}")
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -113,11 +120,28 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         return out
 
     def divergence_local(vel):
-        vx = _exchange2(vel[0], 1, nx, ny, ("reflect_neg", "zero"))
-        vy = _exchange2(vel[1], 1, nx, ny, ("zero", "reflect_neg"))
+        # each component only needs ghosts along its own difference axis
+        vx = exchange_halo(vel[0], 1, -2, X_AXIS, nx, "reflect_neg")
+        vy = exchange_halo(vel[1], 1, -1, Y_AXIS, ny, "reflect_neg")
         inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
-        return ((vx[2:, 1:-1] - vx[:-2, 1:-1])
-                + (vy[1:-1, 2:] - vy[1:-1, :-2])) * inv
+        return ((vx[2:, :] - vx[:-2, :]) + (vy[:, 2:] - vy[:, :-2])) * inv
+
+    def vorticity_local(vel):
+        """Fedkiw confinement with edge-clamped halos (matches
+        ops.fd.vorticity_confinement on the global grid)."""
+        inv = jnp.asarray(1.0 / (2.0 * dx), vel.dtype)
+        tiny = jnp.asarray(1e-6, vel.dtype)
+        vx = exchange_halo(vel[0], 1, -1, Y_AXIS, ny, "edge")
+        vy = exchange_halo(vel[1], 1, -2, X_AXIS, nx, "edge")
+        w = ((vy[2:, :] - vy[:-2, :]) - (vx[:, 2:] - vx[:, :-2])) * inv
+        aw = jnp.abs(w)
+        aw_x = exchange_halo(aw, 1, -2, X_AXIS, nx, "edge")
+        aw_y = exchange_halo(aw, 1, -1, Y_AXIS, ny, "edge")
+        g0 = (aw_x[2:, :] - aw_x[:-2, :]) * inv
+        g1 = (aw_y[:, 2:] - aw_y[:, :-2]) * inv
+        mag = jnp.sqrt(g0 * g0 + g1 * g1) + tiny
+        f = jnp.stack([(g1 / mag) * w, -(g0 / mag) * w], axis=0)
+        return vel + (cfg.vorticity_eps * dx * dt) * f
 
     def gradient_sub_local(vel, p):
         ppad = _exchange2(p, 1, nx, ny, ("edge", "edge"))
@@ -202,6 +226,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         vel = advect_local(state.velocity, state.velocity, ii, jj, ox, oy,
                            no_slip=True)
         vel = impulses_local(vel, imp, ii, jj)
+        if cfg.vorticity_eps > 0.0:
+            vel = vorticity_local(vel)
         div = divergence_local(vel)
         p = sor_local(div, ii, jj)
         vel = gradient_sub_local(vel, p)
@@ -232,23 +258,12 @@ def make_sharded_render(cfg: SimConfig, mesh: Mesh):
     ny = mesh.shape[Y_AXIS]
     s = cfg.scaling
 
-    from ..render.upscale import pack_rgb565
+    from ..render.upscale import pack_rgb565, upscale_bilinear
 
     def local_render(color):
         cpad = _exchange2(color, 1, nx, ny, ("edge", "edge"))
         c = cpad[:, 1:, 1:]  # keep only the +1 ghost on the high side
-        ch, h, w = c.shape
-        t = (jnp.arange(s, dtype=jnp.float32) / s)
-        r0 = c[:, :-1, :][:, :, None, :]
-        r1 = c[:, 1:, :][:, :, None, :]
-        rows = (r0 * (1 - t)[None, None, :, None]
-                + r1 * t[None, None, :, None]).reshape(ch, (h - 1) * s, w)
-        c0 = rows[:, :, :-1][:, :, :, None]
-        c1 = rows[:, :, 1:][:, :, :, None]
-        out = (c0 * (1 - t)[None, None, None, :]
-               + c1 * t[None, None, None, :]).reshape(
-                   ch, (h - 1) * s, (w - 1) * s)
-        return pack_rgb565(out)
+        return pack_rgb565(upscale_bilinear(c, s))
 
     fn = shard_map(
         local_render, mesh=mesh,

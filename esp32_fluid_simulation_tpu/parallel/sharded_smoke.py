@@ -41,6 +41,11 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
     ny = mesh.shape[Y_AXIS]
     if H % nx or W % ny:
         raise ValueError(f"grid {cfg.shape} not divisible by mesh ({nx},{ny})")
+    if cfg.vorticity_eps > 0 or cfg.solver == "multigrid":
+        raise NotImplementedError(
+            "sharded smoke supports solver='sor' without vorticity "
+            "confinement for now (silently dropping either would change "
+            "physics vs the single-device run)")
     lh, lw = H // nx, W // ny
     k = max_disp + 1
     dt, dx = cfg.dt, cfg.dx

@@ -53,38 +53,40 @@ def build_parser():
     return ap
 
 
-def load_config(args) -> SimConfig:
-    if args.resume:
-        _, cfg = load_checkpoint(args.resume)
-    elif args.config:
-        with open(args.config) as f:
-            cfg = SimConfig.from_json(f.read())
-    else:
-        cfg = SimConfig()
-    overrides = {}
-    if args.grid:
-        overrides["shape"] = tuple(args.grid)
-    if args.solver:
-        overrides["solver"] = args.solver
-    if overrides:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, **overrides)
-    return cfg
-
-
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    cfg = load_config(args)
+
+    if args.resume:
+        if args.grid or args.solver or args.config:
+            raise SystemExit(
+                "--resume restores the checkpointed config; it cannot be "
+                "combined with --config/--grid/--solver (the state shape "
+                "would no longer match)")
+        state, cfg = load_checkpoint(args.resume)
+        start = int(state.step)
+    else:
+        if args.config:
+            with open(args.config) as f:
+                cfg = SimConfig.from_json(f.read())
+        else:
+            cfg = SimConfig()
+        overrides = {}
+        if args.grid:
+            overrides["shape"] = tuple(args.grid)
+        if args.solver:
+            overrides["solver"] = args.solver
+        if overrides:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, **overrides)
+        state = init_state(cfg)
+        start = 0
+
+    if args.watchdog and args.metrics:
+        raise SystemExit("--watchdog and --metrics are mutually exclusive "
+                         "(the guarded step does not produce metrics)")
     if args.save_config:
         with open(args.save_config, "w") as f:
             f.write(cfg.to_json())
-
-    if args.resume:
-        state, _ = load_checkpoint(args.resume)
-        start = int(state.step)
-    else:
-        state = init_state(cfg)
-        start = 0
 
     want_metrics = bool(args.metrics)
     if args.watchdog:

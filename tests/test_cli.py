@@ -77,3 +77,15 @@ def test_roofline_estimates():
     assert fused["bytes_per_step"] < composed["bytes_per_step"]
     v5p = speed_of_light(cfg, "v5p", fused=True)
     assert v5p["ideal_fps"] > fused["ideal_fps"]
+
+
+def test_cli_conflicting_flags_rejected(tmp_path):
+    import pytest
+    ck = str(tmp_path / "c.npz")
+    run_main(["--grid", "17", "25", "--steps", "2", "--checkpoint", ck,
+              "--checkpoint-every", "2"])
+    with pytest.raises(SystemExit):
+        run_main(["--resume", ck, "--grid", "33", "41", "--steps", "1"])
+    with pytest.raises(SystemExit):
+        run_main(["--grid", "17", "25", "--steps", "1", "--watchdog",
+                  "--metrics", str(tmp_path / "m.jsonl")])

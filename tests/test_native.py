@@ -140,3 +140,18 @@ def test_http_server_roundtrip():
     finally:
         sim.stop()
         httpd.shutdown()
+
+
+def test_pipeline_sink_exception_does_not_hang():
+    from esp32_fluid_simulation_tpu import SimConfig
+    from esp32_fluid_simulation_tpu.io_host.pipeline import SimPipeline
+
+    def bad_sink(rgb, n):
+        raise RuntimeError("disk full")
+
+    cfg = SimConfig(shape=(17, 25), sor_iters=2)
+    pipe = SimPipeline(cfg, bad_sink, fps=500.0)
+    t0 = time.time()
+    delivered = pipe.run(n_frames=10)
+    assert time.time() - t0 < 60  # must terminate, not deadlock
+    assert delivered == 0

@@ -105,3 +105,18 @@ def test_sample_linear_exact_nodes(rng):
                                   np.arange(SHAPE[1], dtype=F)))
     out = sample_linear(jnp.asarray(f), (ii, jj), no_slip=False)
     np.testing.assert_allclose(np.asarray(out), f, atol=1e-6)
+
+
+def test_maccormack_preserves_noslip_discount():
+    """Regression: the monotonic clamp must not undo the no-slip wall
+    discount (the stencil extrema are undiscounted node values)."""
+    h, w = 16, 20
+    f = jnp.full((h, w), 30.0, F)
+    v = np.zeros((2, h, w), F)
+    v[0] = 30.0  # backtrace from row 0 lands 1 cell outside the wall
+    dt = 1 / 30.
+    semi = np.asarray(advect(f, jnp.asarray(v), dt, no_slip=True))
+    mac = np.asarray(advect_maccormack(f, jnp.asarray(v), dt, no_slip=True))
+    # overshoot 1.0 >= 0.5 -> discount factor 0 at the wall row
+    np.testing.assert_allclose(semi[0, 5:15], 0.0, atol=1e-6)
+    np.testing.assert_allclose(mac[0, 5:15], semi[0, 5:15], atol=1e-5)

@@ -126,3 +126,30 @@ def test_sharded_sor_halo_depths_exact(cfg, sor_halo):
     np.testing.assert_allclose(np.asarray(wide.velocity),
                                np.asarray(base.velocity),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_sharded_vorticity_matches_single_device():
+    cfgv = SimConfig(shape=(64, 96), vorticity_eps=3.0)
+    mesh = _mesh_2x4()
+    fn1 = make_step(cfgv, donate=False)
+    st = init_state(cfgv)
+    imp = Impulses.from_lists(cfgv, [(32, 48)], [(150.0, -90.0)])
+    for t in range(3):
+        st = fn1(st, imp if t == 0 else Impulses.none(cfgv))
+    st_sh = jax.device_put(init_state(cfgv),
+                           sharded_state_sharding(cfgv, mesh))
+    fns = make_sharded_step(cfgv, mesh, donate=False)
+    for t in range(3):
+        st_sh = fns(st_sh, imp if t == 0 else Impulses.none(cfgv))
+    np.testing.assert_allclose(np.asarray(st_sh.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_rejects_unsupported_configs():
+    mesh = _mesh_2x4()
+    with pytest.raises(NotImplementedError):
+        make_sharded_step(SimConfig(shape=(64, 96), advector="maccormack"),
+                          mesh)
+    with pytest.raises(NotImplementedError):
+        make_sharded_step(SimConfig(shape=(64, 96), solver="multigrid"), mesh)
