@@ -70,7 +70,7 @@ def test_solver_variants_agree_loosely():
     field (BASELINE config 2 A/B)."""
     imp_pos, imp_vel = [(20, 30)], [(200.0, -100.0)]
     outs = {}
-    for solver, iters in (("sor", 10), ("jacobi", 60)):
+    for solver, iters in (("sor", 10), ("jacobi", 40)):
         cfg = SimConfig(shape=(33, 41), solver=solver, sor_iters=iters)
         fn = make_step(cfg, donate=False)
         st = fn(init_state(cfg), Impulses.from_lists(cfg, imp_pos, imp_vel))

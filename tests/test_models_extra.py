@@ -36,10 +36,10 @@ def test_smoke_plume_rises():
 
 def test_smoke_divergence_controlled():
     from esp32_fluid_simulation_tpu.ops.fd import divergence
-    cfg = SmokeConfig(shape=(24, 24, 24), mg_cycles=2)
+    cfg = SmokeConfig(shape=(16, 16, 16), solver="sor", sor_iters=8)
     fn = make_smoke_step(cfg, donate=False)
     st = init_smoke(cfg)
-    for _ in range(10):
+    for _ in range(6):
         st = fn(st)
     div = np.asarray(divergence(st.velocity))
     speed = np.abs(np.asarray(st.velocity)).max() + 1e-6
@@ -73,7 +73,7 @@ def test_ensemble_members_independent():
 
 
 def test_smoke_with_vorticity_confinement():
-    cfg = SmokeConfig(shape=(24, 20, 20), vorticity_eps=3.0, mg_cycles=1)
+    cfg = SmokeConfig(shape=(16, 16, 16), vorticity_eps=3.0, solver="sor", sor_iters=6)
     fn = make_smoke_step(cfg, donate=False)
     st = init_smoke(cfg)
     for _ in range(10):
