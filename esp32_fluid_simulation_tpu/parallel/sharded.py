@@ -82,9 +82,9 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         raise NotImplementedError(
             "sharded step supports advector='semilag' only (MacCormack "
             "would silently change physics vs the single-device run)")
-    if cfg.solver not in ("sor",):
+    if cfg.solver not in ("sor", "jacobi"):
         raise NotImplementedError(
-            f"sharded step supports solver='sor' only, got {cfg.solver!r}")
+            f"sharded step supports solver='sor'/'jacobi', got {cfg.solver!r}")
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -191,22 +191,33 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         zrow = jnp.zeros((1, lw + 2 * k), d.dtype)
         zcol = jnp.zeros((lh + 2 * k, 1), d.dtype)
 
-        p = jnp.zeros_like(d)
-        half = 0
-        while half < 2 * cfg.sor_iters:
-            n_here = min(k, 2 * cfg.sor_iters - half)
-            pp = _exchange2(p, k, nx, ny)
-            for m in range(n_here):
-                color = (half + m) % 2
+        if cfg.solver == "jacobi":
+            w = jnp.asarray(min(cfg.omega, 1.0), d.dtype)
+            one_m_w = jnp.asarray(1.0 - min(cfg.omega, 1.0), d.dtype)
+
+        def halves(pp, start, count):
+            for m in range(count):
                 nb = ((jnp.concatenate([zrow, pp[:-1]], 0)
                        + jnp.concatenate([pp[1:], zrow], 0))
                       + jnp.concatenate([zcol, pp[:, :-1]], 1)) \
                     + jnp.concatenate([pp[:, 1:], zcol], 1)
                 p_new = one_m_w * pp + w * (neg_inv * (dxd - nb))
-                pp = jnp.where((parity == color) & in_dom, p_new,
-                               jnp.where(in_dom, pp, 0.0))
-            p = pp[k:-k, k:-k]
-            half += n_here
+                if cfg.solver == "jacobi":
+                    mask = in_dom
+                else:
+                    mask = (parity == (start + m) % 2) & in_dom
+                pp = jnp.where(mask, p_new, jnp.where(in_dom, pp, 0.0))
+            return pp
+
+        # jacobi: one full update per iteration; sor: two half-sweeps
+        total = cfg.sor_iters if cfg.solver == "jacobi" else 2 * cfg.sor_iters
+        p = jnp.zeros_like(d)
+        done = 0
+        while done < total:
+            n_here = min(k, total - done)
+            pp = _exchange2(p, k, nx, ny)
+            p = halves(pp, done, n_here)[k:-k, k:-k]
+            done += n_here
         return p
 
     def impulses_local(vel, imp: Impulses, ii, jj):

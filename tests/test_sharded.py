@@ -153,3 +153,17 @@ def test_sharded_rejects_unsupported_configs():
                           mesh)
     with pytest.raises(NotImplementedError):
         make_sharded_step(SimConfig(shape=(64, 96), solver="multigrid"), mesh)
+
+
+def test_sharded_jacobi_matches_single_device():
+    cfgj = SimConfig(shape=(64, 96), solver="jacobi", sor_iters=20,
+                     omega=0.9)
+    mesh = _mesh_2x4()
+    imp = Impulses.from_lists(cfgj, [(32, 48)], [(150.0, -90.0)])
+    st = make_step(cfgj, donate=False)(init_state(cfgj), imp)
+    st_sh = jax.device_put(init_state(cfgj),
+                           sharded_state_sharding(cfgj, mesh))
+    out = make_sharded_step(cfgj, mesh, donate=False, sor_halo=4)(st_sh, imp)
+    np.testing.assert_allclose(np.asarray(out.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-5, atol=1e-5)
