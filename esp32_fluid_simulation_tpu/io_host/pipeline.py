@@ -103,6 +103,8 @@ class SimPipeline:
                 n += 1
                 if self._stop.is_set():
                     break
+        except Exception as e:  # surfaced by run(); must not hang the sim
+            self._error = e
         finally:
             # a frame_sink exception must not strand the producer in
             # producer_acquire: flag the stop and free the slot
@@ -112,7 +114,9 @@ class SimPipeline:
 
     # -- run --------------------------------------------------------------
     def run(self, n_frames: int) -> int:
-        """Run the pipeline for ``n_frames``; returns frames delivered."""
+        """Run the pipeline for ``n_frames``; returns frames delivered.
+        Re-raises the first frame_sink exception, if any."""
+        self._error = None
         sim = threading.Thread(target=self._sim_thread, args=(n_frames,),
                                name="sim")
         consumer = threading.Thread(target=self._consumer_thread,
@@ -123,6 +127,8 @@ class SimPipeline:
         self._stop.set()
         self.handshake.producer_publish()
         consumer.join(timeout=10)
+        if self._error is not None:
+            raise self._error
         return self._frames_done
 
     def stop(self):

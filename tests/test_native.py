@@ -152,6 +152,7 @@ def test_pipeline_sink_exception_does_not_hang():
     cfg = SimConfig(shape=(17, 25), sor_iters=2)
     pipe = SimPipeline(cfg, bad_sink, fps=500.0)
     t0 = time.time()
-    delivered = pipe.run(n_frames=10)
+    import pytest
+    with pytest.raises(RuntimeError, match="disk full"):
+        pipe.run(n_frames=10)
     assert time.time() - t0 < 60  # must terminate, not deadlock
-    assert delivered == 0
