@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gather_utils import lane_gather
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -98,27 +100,26 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, sem,
     dma.wait()
     src = src_vmem[:].astype(f32)
 
-    # Column gather is ONE hardware op per row-shift: tpu.dynamic_gather
-    # (jnp.take_along_axis along lanes).  The remaining row displacement is a
-    # short dynamic loop over the integer shifts actually present in the
-    # tile (typically a handful; bounded by 2*max_disp+2).  Mosaic requires
-    # the index array to match the gathered array's shape, so the local
-    # column indices are padded out to the haloed width (padded output
-    # columns are sliced off).
-    srcw = tile_w + 2 * pc
+    # Column gather: hardware lane gathers (tpu.dynamic_gather), panel-
+    # decomposed because the gather source may only span one 128-lane vreg
+    # (gather_utils).  The backtrace is CFL-bounded, so each 128-wide output
+    # panel po only ever indexes source panels {po, po+1, po+2} (the halo is
+    # one 128-lane panel).  The remaining row displacement is a short
+    # dynamic loop over the integer shifts actually present in the tile
+    # (typically a handful; bounded by 2*max_disp+2).
     lj = (j0 - f32(col0 - pc)).astype(jnp.int32)  # local col of j0 in src
-    pad_cols = ((0, 0), (0, srcw - tile_w))
-    lj_p = jnp.pad(lj, pad_cols)
-    lj1_p = jnp.pad(lj + 1, pad_cols)
+    lj1 = lj + 1
     one_m_dj = 1.0 - dj
     w_i0 = 1.0 - di
     w_i1 = di
+    q_base = lambda po: po  # noqa: E731  (pc == 128 panels exactly)
+    band = pc // 128 + 2
 
     def s_body(s, acc):
         # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
         rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
-        g0 = jnp.take_along_axis(rows_s, lj_p, axis=1)[:, :tile_w]
-        g1 = jnp.take_along_axis(rows_s, lj1_p, axis=1)[:, :tile_w]
+        g0 = lane_gather(rows_s, lj, q_base=q_base, band=band)
+        g1 = lane_gather(rows_s, lj1, q_base=q_base, band=band)
         colv = g0 * one_m_dj + g1 * dj
         contrib = (jnp.where(rel_i == s, w_i0, 0.0)
                    + jnp.where(rel_i == s - 1, w_i1, 0.0))

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.pallas.gather_utils import lane_gather
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -43,29 +45,33 @@ def _render_kernel(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
     f32 = jnp.float32
     tho = ti_h * s
     two = ti_w * s
-    wa = (jax.lax.broadcasted_iota(jnp.int32, (ti_h, s, 1), 1)
+    # row phase fraction per output row: (r % s) / s.  Built at full width:
+    # (tho, 1)-shaped iota columns trip a libtpu layout CHECK
+    # ("limits[i] <= dim(i)") in this toolchain.
+    wa = ((jax.lax.broadcasted_iota(jnp.int32, (tho, ti_w + pad_c), 0) % s)
           .astype(f32) / f32(s))
-    # gather source width must equal gather output width (hardware gather
-    # constraint), so the row-expanded tile is zero-padded in VMEM out to
-    # the output width
-    gw = max(two, ti_w + pad_c)
-    j_out = jax.lax.broadcasted_iota(jnp.int32, (tho, gw), 1)
+    j_out = jax.lax.broadcasted_iota(jnp.int32, (tho, two), 1)
     j_in = j_out // s
-    fb = ((j_out % s).astype(f32) / f32(s))[:, :two]
+    fb = (j_out % s).astype(f32) / f32(s)
+    # output panel po reads source cols [128*po/s, (128*(po+1))/s] — at most
+    # two source panels (gather_utils panel decomposition)
+    q_base = lambda po: (po * 128 // s) // 128  # noqa: E731
 
     dma.wait()
 
     def expand(ch):
         cw = cwin_vmem[ch].astype(f32)           # (ti_h+pad_r, ti_w+pad_c)
-        c0 = cw[:ti_h, :][:, None, :]            # node rows i
-        c1 = cw[1:ti_h + 1, :][:, None, :]       # node rows i+1
-        rows = c0 * (1.0 - wa) + c1 * wa         # (ti_h, s, ti_w+pad_c)
-        rows = rows.reshape(tho, ti_w + pad_c)
-        if gw > ti_w + pad_c:
-            rows = jnp.pad(rows, ((0, 0), (0, gw - (ti_w + pad_c))))
-        g0 = jnp.take_along_axis(rows, j_in, axis=1)
-        g1 = jnp.take_along_axis(rows, j_in + 1, axis=1)
-        return (g0[:, :two] * (1.0 - fb) + g1[:, :two] * fb)
+        r0 = jnp.repeat(cw[:ti_h, :], s, axis=0)         # node rows i
+        r1 = jnp.repeat(cw[1:ti_h + 1, :], s, axis=0)    # node rows i+1
+        rows = r0 * (1.0 - wa) + r1 * wa                 # (tho, ti_w+pad_c)
+        # tpu.dynamic_gather with COMPILE-TIME-CONSTANT indices crashes this
+        # Mosaic backend (libtpu CHECK in array.h); tying the index array to
+        # runtime data defeats the constant-folded lowering path.
+        zero = (rows[:, 0:1] * 0.0).astype(jnp.int32)
+        ji = j_in + zero
+        g0 = lane_gather(rows, ji, q_base=q_base, band=2)
+        g1 = lane_gather(rows, ji + 1, q_base=q_base, band=2)
+        return g0 * (1.0 - fb) + g1 * fb
 
     def chan_bits(ch, bits):
         q = jnp.floor(expand(ch) * f32(1 << bits)).astype(jnp.int32)
