@@ -46,8 +46,9 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, sem,
-                   *, dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip):
+def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem,
+                   *, dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
+                   static_unroll):
     """One (channel, row-tile, col-tile) program.
 
     pr/pc: aligned halo widths (rows/cols), both > max_disp.
@@ -115,18 +116,34 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, sem,
     q_base = lambda po: po  # noqa: E731  (pc == 128 panels exactly)
     band = pc // 128 + 2
 
-    def s_body(s, acc):
-        # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
-        rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
+    def s_contrib(s, rows_s):
         g0 = lane_gather(rows_s, lj, q_base=q_base, band=band)
         g1 = lane_gather(rows_s, lj1, q_base=q_base, band=band)
         colv = g0 * one_m_dj + g1 * dj
         contrib = (jnp.where(rel_i == s, w_i0, 0.0)
                    + jnp.where(rel_i == s - 1, w_i1, 0.0))
-        return acc + colv * contrib
+        return colv * contrib
 
-    acc = jnp.zeros((tile_h, tile_w), f32)
-    acc = jax.lax.fori_loop(smin, smax + 2, s_body, acc)
+    if static_unroll:
+        # Fully unrolled: every possible shift is a static slice (no
+        # dynamic rotate) guarded by a runtime branch that skips shifts not
+        # present in this tile — trades code size for zero loop-carry
+        # overhead (Mosaic while-loops round-trip their carries to VMEM).
+        acc_vmem[...] = jnp.zeros((tile_h, tile_w), f32)
+        for s in range(-max_disp, max_disp + 2):
+            @pl.when(jnp.logical_and(smin <= s, s <= smax + 1))
+            def _(s=s):
+                rows_s = src[pr + s:pr + s + tile_h, :]
+                acc_vmem[...] += s_contrib(s, rows_s)
+        acc = acc_vmem[...]
+    else:
+        def s_body(s, acc):
+            # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
+            rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
+            return acc + s_contrib(s, rows_s)
+
+        acc = jnp.zeros((tile_h, tile_w), f32)
+        acc = jax.lax.fori_loop(smin, smax + 2, s_body, acc)
 
     if no_slip:
         # advect.h:57-71, computed from the *unclamped* backtrace coords.
@@ -146,9 +163,11 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, sem,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w"))
+    static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
+                     "static_unroll"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
-                  max_disp: int = 12, tile_h: int = 128, tile_w: int = 1024):
+                  max_disp: int = 12, tile_h: int = 128, tile_w: int = 1024,
+                  static_unroll: bool = False):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -173,7 +192,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
     kernel = functools.partial(
         _advect_kernel, dt=dt, max_disp=max_disp, tile_h=th, tile_w=tw,
-        pr=pr, pc=pc, h=h, w=w, no_slip=no_slip)
+        pr=pr, pc=pc, h=h, w=w, no_slip=no_slip,
+        static_unroll=static_unroll)
 
     out = pl.pallas_call(
         kernel,
@@ -188,6 +208,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * pr, tw + 2 * pc), fpad.dtype),
+            pltpu.VMEM((th, tw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(vpad, fpad)

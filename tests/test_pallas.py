@@ -131,3 +131,13 @@ def test_render_pallas_bit_exact(rng, shape, s):
     a = np.asarray(render_rgb565(c, s=s))
     b = np.asarray(render_rgb565_pallas(c, s=s, tile_h=16, tile_w=128))
     np.testing.assert_array_equal(a, b)
+
+
+def test_advect_pallas_static_unroll(rng):
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    f = jnp.asarray(rng.random((96, 200), dtype=F))
+    v = jnp.asarray((60 * rng.standard_normal((2, 96, 200))).astype(F))
+    a = advect_pallas(f, v, 1 / 30., True, max_disp=8)
+    b = advect_pallas(f, v, 1 / 30., True, max_disp=8, static_unroll=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)

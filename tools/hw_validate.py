@@ -80,6 +80,9 @@ def main():
     # advection
     bench("advect jnp (3ch)",
           jax.jit(lambda c: advect(c, vel, 1 / 30., False)), col)
+    bench("advect pallas static (3ch)",
+          jax.jit(lambda c: advect_pallas(c, vel, 1 / 30., False, 12,
+                                          static_unroll=True)), col)
     bench("advect pallas (3ch)",
           jax.jit(lambda c: advect_pallas(c, vel, 1 / 30., False, 12)), col,
           check=lambda: float(jnp.max(jnp.abs(
