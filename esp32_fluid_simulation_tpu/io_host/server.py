@@ -40,19 +40,22 @@ img{image-rendering:pixelated;border:1px solid #444;touch-action:none}</style>
 <p id="s"></p>
 <script>
 const img = document.getElementById('v');
-let last = null, down = false;
+let last = null, lastT = 0, down = false;
 function cell(e) {
   const r = img.getBoundingClientRect();
   return [ (e.clientX - r.left) / r.width, (e.clientY - r.top) / r.height ];
 }
-function send(p, q) {
-  fetch('/drag', {method: 'POST', body: JSON.stringify({from: p, to: q})});
+function send(p, q, ms) {
+  fetch('/drag', {method: 'POST',
+                  body: JSON.stringify({from: p, to: q, ms: ms})});
 }
-img.addEventListener('pointerdown', e => { down = true; last = cell(e); });
+img.addEventListener('pointerdown', e => {
+  down = true; last = cell(e); lastT = e.timeStamp;
+});
 img.addEventListener('pointermove', e => {
   if (!down) return;
   const c = cell(e);
-  send(last, c); last = c;
+  send(last, c, e.timeStamp - lastT); last = c; lastT = e.timeStamp;
 });
 addEventListener('pointerup', () => { down = false; last = null; });
 </script>
@@ -70,15 +73,22 @@ class SimServer:
         self._frame_no = 0
         self._stop = threading.Event()
         self.steps_done = 0
+        self.mime = "image/jpeg"
 
     # -- input ------------------------------------------------------------
-    def drag(self, frm, to):
+    def drag(self, frm, to, ms=None):
         """Fractional screen coords -> sim-frame drag (the x/y swap of
-        .ino:258-267 happens here: screen row fraction -> axis 0)."""
+        .ino:258-267 happens here: screen row fraction -> axis 0).
+
+        Velocity = delta cells * 1000/ms, ms being the client-measured time
+        between pointer events — the reference's drag formula with a
+        measured poll period (.ino:80-86)."""
         h, w = self.cfg.shape[-2], self.cfg.shape[-1]
         i0, j0 = frm[1] * (h - 1), frm[0] * (w - 1)
         i1, j1 = to[1] * (h - 1), to[0] * (w - 1)
-        scale = self.fps  # one drag per frame: delta cells * fps = cells/s
+        period_ms = min(max(float(ms) if ms else 1000.0 / self.fps, 1.0),
+                        1000.0)
+        scale = 1000.0 / period_ms
         self.queue.try_push(int(round(i1)), int(round(j1)),
                             (i1 - i0) * scale, (j1 - j0) * scale)
 
@@ -88,12 +98,24 @@ class SimServer:
             from PIL import Image
             buf = io.BytesIO()
             Image.fromarray(rgb).save(buf, format="JPEG", quality=85)
+            self.mime = "image/jpeg"
             return buf.getvalue()
-        except ImportError:  # raw PPM fallback
+        except ImportError:  # raw PPM fallback (correctly labeled)
+            self.mime = "image/x-portable-pixmap"
             h, w, _ = rgb.shape
             return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
     def run_sim(self, n_frames=None):
+        try:
+            self._run_sim(n_frames)
+        finally:
+            # a step/encode exception must stop the server visibly instead
+            # of freezing /stream on a stale frame
+            self._stop.set()
+            with self._frame_lock:
+                self._frame_lock.notify_all()
+
+    def _run_sim(self, n_frames=None):
         state = init_state(self.cfg)
         pacer = FramePacer(self.fps)
         s = self.cfg.scaling
@@ -116,14 +138,17 @@ class SimServer:
             if n_frames and self.steps_done >= n_frames:
                 break
             pacer.wait()
-        self._stop.set()
-        with self._frame_lock:
-            self._frame_lock.notify_all()
 
-    def next_frame(self, after, timeout=2.0):
+    def next_frame(self, after, timeout=60.0):
+        """Block until a frame newer than ``after`` exists (first frames
+        wait out the jit compile); returns (bytes, frame_no)."""
+        deadline = time.time() + timeout
         with self._frame_lock:
-            if self._frame_no <= after:
-                self._frame_lock.wait(timeout)
+            while (self._frame_no <= after or not self._frame_jpeg) \
+                    and not self._stop.is_set():
+                remaining = deadline - time.time()
+                if remaining <= 0 or not self._frame_lock.wait(remaining):
+                    break
             return self._frame_jpeg, self._frame_no
 
     def stop(self):
@@ -149,7 +174,7 @@ def make_handler(sim: SimServer):
             elif self.path == "/frame":
                 frame, _ = sim.next_frame(-1)
                 self.send_response(200)
-                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Type", sim.mime)
                 self.send_header("Content-Length", str(len(frame)))
                 self.end_headers()
                 self.wfile.write(frame)
@@ -166,7 +191,7 @@ def make_handler(sim: SimServer):
                         if not frame:
                             continue
                         self.wfile.write(b"--frame\r\n")
-                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        self.wfile.write(b"Content-Type: " + sim.mime.encode() + b"\r\n")
                         self.wfile.write(
                             b"Content-Length: %d\r\n\r\n" % len(frame))
                         self.wfile.write(frame)
@@ -191,7 +216,7 @@ def make_handler(sim: SimServer):
             if self.path == "/drag":
                 n = int(self.headers.get("Content-Length", 0))
                 msg = json.loads(self.rfile.read(n))
-                sim.drag(msg["from"], msg["to"])
+                sim.drag(msg["from"], msg["to"], msg.get("ms"))
                 self.send_response(204)
                 self.end_headers()
             else:

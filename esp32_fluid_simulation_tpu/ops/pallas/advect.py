@@ -42,17 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .gather_utils import lane_gather
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
-def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem,
-                   *, dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
+def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
+                   dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
                    static_unroll):
     """One (channel, row-tile, col-tile) program.
 
     pr/pc: aligned halo widths (rows/cols), both > max_disp.
     """
+    if static_unroll:
+        acc_vmem, sem = scratch
+    else:
+        (sem,) = scratch
     r = pl.program_id(1)
     cidx = pl.program_id(2)
     row0 = r * tile_h
@@ -95,8 +95,12 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem,
     dj = sj - j0
 
     rel_i = (i0 - i_glob).astype(jnp.int32)   # in [-max_disp, max_disp]
-    smin = jnp.min(rel_i)
-    smax = jnp.max(rel_i)
+    # Loop bounds from VALID rows only: rows padded beyond h (tile round-up)
+    # clamp toward the domain and would otherwise widen the shift range to
+    # ~tile_h on the last tile; their outputs are cropped anyway.
+    row_valid = i_glob <= f32(h - 1)
+    smin = jnp.min(jnp.where(row_valid, rel_i, 0))
+    smax = jnp.max(jnp.where(row_valid, rel_i, 0))
 
     dma.wait()
     src = src_vmem[:].astype(f32)
@@ -173,16 +177,20 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
     are clamped to ``max_disp`` cells (CFL clamp).
     """
+    if max_disp + 1 > 128:
+        raise ValueError(
+            f"max_disp={max_disp} exceeds the one-panel lane halo the "
+            f"gather band assumes (max_disp <= 127)")
     squeeze = field.ndim == 2
     if squeeze:
         field = field[None]
     c, h, w = field.shape
-    pr = _cdiv(max_disp + 1, 8) * 8       # aligned sublane halo
-    pc = _cdiv(max_disp + 1, 128) * 128   # aligned lane halo
-    th = min(tile_h, _cdiv(h, 8) * 8)
-    tw = min(tile_w, _cdiv(w, 128) * 128)
-    hp = _cdiv(h, th) * th
-    wp = _cdiv(w, tw) * tw
+    pr = pl.cdiv(max_disp + 1, 8) * 8       # aligned sublane halo
+    pc = pl.cdiv(max_disp + 1, 128) * 128   # aligned lane halo
+    th = min(tile_h, pl.cdiv(h, 8) * 8)
+    tw = min(tile_w, pl.cdiv(w, 128) * 128)
+    hp = pl.cdiv(h, th) * th
+    wp = pl.cdiv(w, tw) * tw
 
     # Zero-pad: halo on all sides plus tiling round-up.  Padded values are
     # never selected (masks guarantee in-domain indices); they only make the
@@ -206,11 +214,11 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         out_specs=pl.BlockSpec((1, th, tw), lambda ci, r, cl: (ci, r, cl),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * pr, tw + 2 * pc), fpad.dtype),
-            pltpu.VMEM((th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((th + 2 * pr, tw + 2 * pc), fpad.dtype)]
+            + ([pltpu.VMEM((th, tw), jnp.float32)] if static_unroll else [])
+            + [pltpu.SemaphoreType.DMA]
+        ),
     )(vpad, fpad)
 
     out = out[:, :h, :w]

@@ -28,10 +28,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def _project_kernel(v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
                     *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
     r = pl.program_id(0)
@@ -124,12 +120,12 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     subtract_gradient for 2D grids."""
     _, h, w = vel.shape
     halo = 2 * iters + 2
-    pr = _cdiv(halo, 8) * 8
-    pc = _cdiv(halo, 128) * 128
-    th = min(tile_h, _cdiv(h, 8) * 8)
-    tw = min(tile_w, _cdiv(w, 128) * 128)
-    hp = _cdiv(h, th) * th
-    wp = _cdiv(w, tw) * tw
+    pr = pl.cdiv(halo, 8) * 8
+    pc = pl.cdiv(halo, 128) * 128
+    th = min(tile_h, pl.cdiv(h, 8) * 8)
+    tw = min(tile_w, pl.cdiv(w, 128) * 128)
+    hp = pl.cdiv(h, th) * th
+    wp = pl.cdiv(w, tw) * tw
 
     vpad = jnp.pad(vel, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
 

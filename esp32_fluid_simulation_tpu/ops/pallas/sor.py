@@ -38,10 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def _sor_kernel(d_hbm, out_ref, dwin_vmem, sem,
                 *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
     r = pl.program_id(0)
@@ -108,12 +104,12 @@ def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
                      tile_w: int = 1024) -> jax.Array:
     """Drop-in replacement for ``ops.poisson.sor_solve`` on large 2D grids."""
     h, w = d.shape
-    pr = _cdiv(2 * iters, 8) * 8
-    pc = _cdiv(2 * iters, 128) * 128
-    th = min(tile_h, _cdiv(h, 8) * 8)
-    tw = min(tile_w, _cdiv(w, 128) * 128)
-    hp = _cdiv(h, th) * th
-    wp = _cdiv(w, tw) * tw
+    pr = pl.cdiv(2 * iters, 8) * 8
+    pc = pl.cdiv(2 * iters, 128) * 128
+    th = min(tile_h, pl.cdiv(h, 8) * 8)
+    tw = min(tile_w, pl.cdiv(w, 128) * 128)
+    hp = pl.cdiv(h, th) * th
+    wp = pl.cdiv(w, tw) * tw
 
     dpad = jnp.pad(d, ((pr, pr + hp - h), (pc, pc + wp - w)))
 

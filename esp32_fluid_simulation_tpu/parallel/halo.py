@@ -41,6 +41,11 @@ def exchange_halo(x: jax.Array, width: int, dim: int, axis_name: str,
     if width == 0:
         return x
     dim = dim % x.ndim
+    if width > x.shape[dim]:
+        raise ValueError(
+            f"halo width {width} exceeds the shard extent {x.shape[dim]} "
+            f"along dim {dim} — use a smaller max_disp/sor_halo or fewer "
+            f"shards on this axis (strips would silently truncate)")
 
     if n_shards == 1:
         lo_ghost = jnp.zeros_like(_take(x, dim, 0, width))

@@ -97,10 +97,11 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
         hi = -vz[-1:]
         vz_e = jnp.concatenate([lo, vz, hi], axis=0)
         flow = vz_e[2:] - vz_e[:-2]
-        vx = _exchange2(vel[1], 1, ("reflect_neg", "zero"))
-        vy = _exchange2(vel[2], 1, ("zero", "reflect_neg"))
-        flow = flow + (vx[:, 2:, 1:-1] - vx[:, :-2, 1:-1])
-        flow = flow + (vy[:, 1:-1, 2:] - vy[:, 1:-1, :-2])
+        # each component only needs ghosts along its own difference axis
+        vx = exchange_halo(vel[1], 1, -2, X_AXIS, nx, "reflect_neg")
+        vy = exchange_halo(vel[2], 1, -1, Y_AXIS, ny, "reflect_neg")
+        flow = flow + (vx[:, 2:, :] - vx[:, :-2, :])
+        flow = flow + (vy[:, :, 2:] - vy[:, :, :-2])
         return flow * inv
 
     def gradient_sub_local(vel, p):

@@ -26,10 +26,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.pallas.gather_utils import lane_gather
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def _render_kernel(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
                    pad_r, pad_c, bswap):
     r = pl.program_id(0)
@@ -91,10 +87,10 @@ def render_rgb565_pallas(color: jax.Array, s: int = 4, bswap: bool = True,
     """Fused render: ``[3, H, W] -> [(H-1)*s, (W-1)*s] uint16``."""
     _, h, w = color.shape
     ho, wo = (h - 1) * s, (w - 1) * s
-    ti_h = min(tile_h, _cdiv(h - 1, 8) * 8)
-    ti_w = min(tile_w, _cdiv(w - 1, 128) * 128)
-    hp = _cdiv(h - 1, ti_h) * ti_h
-    wp = _cdiv(w - 1, ti_w) * ti_w
+    ti_h = min(tile_h, pl.cdiv(h - 1, 8) * 8)
+    ti_w = min(tile_w, pl.cdiv(w - 1, 128) * 128)
+    hp = pl.cdiv(h - 1, ti_h) * ti_h
+    wp = pl.cdiv(w - 1, ti_w) * ti_w
     pad_r, pad_c = 8, 128  # aligned DMA windows incl. the +1 lerp endpoint
 
     cpad = jnp.pad(color, ((0, 0), (0, hp + pad_r - h), (0, wp + pad_c - w)),
