@@ -51,7 +51,7 @@ class SimConfig:
     sor_iters: int = REF_SOR_ITERS
     omega: float = REF_SOR_OMEGA
     solver: str = "sor"          # sor | jacobi | sor_pallas | multigrid
-    advector: str = "semilag"    # semilag | maccormack
+    advector: str = "semilag"    # semilag | rk2 | maccormack
     advect_impl: str = "auto"    # auto | jnp | pallas (pallas: 2D TPU only)
     advect_max_disp: int = 12    # CFL clamp (cells/step) for the pallas path
     vorticity_eps: float = 0.0   # >0 enables vorticity confinement
@@ -68,7 +68,7 @@ class SimConfig:
         if self.solver not in ("sor", "jacobi", "sor_pallas", "multigrid",
                                "fused_pallas"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.advector not in ("semilag", "maccormack"):
+        if self.advector not in ("semilag", "rk2", "maccormack"):
             raise ValueError(f"unknown advector {self.advector!r}")
         if self.dtype not in _DTYPES or self.color_dtype not in _DTYPES:
             raise ValueError(f"unknown dtype {self.dtype!r}/{self.color_dtype!r}")

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..state import SimState, Impulses
-from ..ops.advect import advect, advect_maccormack
+from ..ops.advect import advect, advect_maccormack, advect_rk2
 from ..ops.fd import divergence, subtract_gradient, vorticity_confinement
 from ..ops.poisson import poisson_solve, poisson_residual
 from ..ops.blur import triangular_blur_inplace
@@ -103,6 +103,8 @@ def _use_pallas_advect(cfg: SimConfig) -> bool:
 def _advect_by(cfg: SimConfig):
     if cfg.advector == "maccormack":
         return advect_maccormack
+    if cfg.advector == "rk2":
+        return advect_rk2
     if _use_pallas_advect(cfg):
         from ..ops.pallas.advect import advect_pallas
 
@@ -125,7 +127,8 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
     vel = _project(vel, cfg)
 
     color = adv(state.color, vel, cfg.dt, no_slip=False)
-    color = jnp.clip(color, 0.0, 1.0) if cfg.advector == "semilag" else color
+    color = (jnp.clip(color, 0.0, 1.0)
+             if cfg.advector in ("semilag", "rk2") else color)
 
     return SimState(velocity=vel, color=color, step=state.step + 1)
 
@@ -163,7 +166,8 @@ def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
     div_post = divergence(vel, cfg.dx)
 
     color = adv(state.color, vel, cfg.dt, no_slip=False)
-    color = jnp.clip(color, 0.0, 1.0) if cfg.advector == "semilag" else color
+    color = (jnp.clip(color, 0.0, 1.0)
+             if cfg.advector in ("semilag", "rk2") else color)
 
     res = poisson_residual(p, div, cfg.dx)
     metrics = {

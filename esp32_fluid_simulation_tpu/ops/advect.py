@@ -163,6 +163,24 @@ def advect(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool):
     return sample_linear(field, coords, no_slip=no_slip)
 
 
+def advect_rk2(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool):
+    """Second-order (midpoint) backtrace: sample the velocity at
+    ``x - dt/2 * v(x)`` and trace the full step through it (Stam's original
+    is forward-Euler along the characteristic; RK2 halves the trajectory
+    error — cf. multi-stage semi-Lagrangian schemes, PAPERS.md).  Sampling
+    semantics are identical to ``advect``."""
+    nd = vel.shape[0]
+    mid_coords = _backtrace_coords(vel, dt * 0.5)
+    v_mid = sample_linear(vel, mid_coords, no_slip=False)
+    shape = vel.shape[1:]
+    dtype = vel.dtype
+    coords = []
+    for k in range(nd):
+        idx = jax.lax.broadcasted_iota(dtype, shape, k)
+        coords.append(idx - v_mid[k] * dt)
+    return sample_linear(field, coords, no_slip=no_slip)
+
+
 def advect_maccormack(field: jax.Array, vel: jax.Array, dt: float,
                       no_slip: bool):
     """Second-order MacCormack advection with monotonic clamp.

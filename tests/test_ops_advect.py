@@ -120,3 +120,36 @@ def test_maccormack_preserves_noslip_discount():
     # overshoot 1.0 >= 0.5 -> discount factor 0 at the wall row
     np.testing.assert_allclose(semi[0, 5:15], 0.0, atol=1e-6)
     np.testing.assert_allclose(mac[0, 5:15], semi[0, 5:15], atol=1e-5)
+
+
+def test_rk2_more_accurate_on_rotation(rng):
+    """Midpoint backtrace beats forward-Euler on a rotating field: advect a
+    smooth blob through rigid rotation and compare against the exact
+    rotation of the blob."""
+    from esp32_fluid_simulation_tpu.ops.advect import advect_rk2
+    h = w = 64
+    ci = cj = 31.5
+    ii = np.arange(h, dtype=F)[:, None]
+    jj = np.arange(w, dtype=F)[None, :]
+    omega = 1.2  # rad/s
+    v = np.stack([-(jj - cj) * omega + 0 * ii, (ii - ci) * omega + 0 * jj])
+    blob = np.exp(-(((ii - 40) ** 2 + (jj - 31.5) ** 2) / 30.0)).astype(F)
+    dt = 0.25
+    # exact: rotate the blob center backward by omega*dt
+    th = omega * dt
+    ri = (ii - ci) * np.cos(th) + (jj - cj) * np.sin(th) + ci
+    rj = -(ii - ci) * np.sin(th) + (jj - cj) * np.cos(th) + cj
+    exact = np.exp(-(((ri - 40) ** 2 + (rj - 31.5) ** 2) / 30.0)).astype(F)
+    e1 = np.abs(np.asarray(advect(jnp.asarray(blob), jnp.asarray(v), dt,
+                                  False)) - exact)
+    e2 = np.abs(np.asarray(advect_rk2(jnp.asarray(blob), jnp.asarray(v), dt,
+                                      False)) - exact)
+    assert e2.max() < 0.5 * e1.max()
+
+
+def test_rk2_zero_velocity_identity(rng):
+    from esp32_fluid_simulation_tpu.ops.advect import advect_rk2
+    f = _rand_field(rng, SHAPE)
+    v = jnp.zeros((2,) + SHAPE, F)
+    out = advect_rk2(jnp.asarray(f), v, 1 / 30, no_slip=True)
+    np.testing.assert_allclose(np.asarray(out), f, atol=1e-7)
