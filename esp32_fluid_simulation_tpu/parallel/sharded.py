@@ -78,10 +78,11 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
     halo_k = sor_halo
     if cfg.ndim != 2:
         raise NotImplementedError("sharded step is 2D for now")
-    if cfg.advector != "semilag":
+    if cfg.advector not in ("semilag", "maccormack"):
         raise NotImplementedError(
-            "sharded step supports advector='semilag' only (MacCormack "
-            "would silently change physics vs the single-device run)")
+            f"sharded step supports advector='semilag'/'maccormack', got "
+            f"{cfg.advector!r} (silently substituting would change physics "
+            f"vs the single-device run)")
     if cfg.solver not in ("sor", "jacobi"):
         raise NotImplementedError(
             f"sharded step supports solver='sor'/'jacobi', got {cfg.solver!r}")
@@ -95,15 +96,16 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
     dt, dx = cfg.dt, cfg.dx
     f32 = jnp.float32
 
-    def advect_local(field, vel, ii, jj, ox, oy, no_slip):
+    def advect_local(field, vel, ii, jj, ox, oy, no_slip, sign=1.0,
+                     return_minmax=False):
         """Backtrace + gather in a k-halo window; global-coordinate clamps."""
         fpad = _exchange2(field, k, nx, ny)
         v0 = vel[0].astype(f32)
         v1 = vel[1].astype(f32)
         gi = ii.astype(f32)
         gj = jj.astype(f32)
-        si_raw = gi - v0 * f32(dt)
-        sj_raw = gj - v1 * f32(dt)
+        si_raw = gi - sign * v0 * f32(dt)
+        sj_raw = gj - sign * v1 * f32(dt)
         # CFL clamp to the halo, then the reference domain clamp
         si = jnp.clip(jnp.clip(si_raw, gi - max_disp, gi + max_disp),
                       0.0, f32(H - 1))
@@ -113,11 +115,28 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         # global coordinate g maps to g - offset + k
         li = si - ox.astype(f32) + f32(k)
         lj = sj - oy.astype(f32) + f32(k)
-        out = sample_linear(fpad, (li, lj), no_slip=False)
+        res = sample_linear(fpad, (li, lj), no_slip=False,
+                            return_minmax=return_minmax)
+        out, extra = (res[0], res[1:]) if return_minmax else (res, ())
         if no_slip:
             out = out * (noslip_axis_factor(si_raw, H)
                          * noslip_axis_factor(sj_raw, W)).astype(out.dtype)
-        return out
+        return (out, *extra) if return_minmax else out
+
+    def advect_dispatch(field, vel, ii, jj, ox, oy, no_slip):
+        if cfg.advector != "maccormack":
+            return advect_local(field, vel, ii, jj, ox, oy, no_slip)
+        # MacCormack (ops.advect.advect_maccormack, shard-local): forward
+        # predictor with stencil extrema, backward corrector, clamp bounds
+        # extended to the (possibly no-slip-discounted) predictor.
+        phi_hat, cmin, cmax = advect_local(field, vel, ii, jj, ox, oy,
+                                           no_slip, return_minmax=True)
+        phi_back = advect_local(phi_hat, vel, ii, jj, ox, oy, no_slip,
+                                sign=-1.0)
+        corrected = phi_hat + 0.5 * (field - phi_back)
+        cmin = jnp.minimum(cmin, phi_hat)
+        cmax = jnp.maximum(cmax, phi_hat)
+        return jnp.clip(corrected, cmin, cmax)
 
     def divergence_local(vel):
         # each component only needs ghosts along its own difference axis
@@ -234,16 +253,18 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
 
     def local_step(state: SimState, imp: Impulses) -> SimState:
         ii, jj, ox, oy = _local_coords(cfg, nx, ny, lh, lw)
-        vel = advect_local(state.velocity, state.velocity, ii, jj, ox, oy,
-                           no_slip=True)
+        vel = advect_dispatch(state.velocity, state.velocity, ii, jj, ox, oy,
+                              no_slip=True)
         vel = impulses_local(vel, imp, ii, jj)
         if cfg.vorticity_eps > 0.0:
             vel = vorticity_local(vel)
         div = divergence_local(vel)
         p = sor_local(div, ii, jj)
         vel = gradient_sub_local(vel, p)
-        color = advect_local(state.color, vel, ii, jj, ox, oy, no_slip=False)
-        color = jnp.clip(color, 0.0, 1.0)
+        color = advect_dispatch(state.color, vel, ii, jj, ox, oy,
+                                no_slip=False)
+        if cfg.advector != "maccormack":
+            color = jnp.clip(color, 0.0, 1.0)
         return SimState(velocity=vel, color=color, step=state.step + 1)
 
     grid_spec = P(None, X_AXIS, Y_AXIS)

@@ -149,10 +149,30 @@ def test_sharded_vorticity_matches_single_device():
 def test_sharded_rejects_unsupported_configs():
     mesh = _mesh_2x4()
     with pytest.raises(NotImplementedError):
-        make_sharded_step(SimConfig(shape=(64, 96), advector="maccormack"),
-                          mesh)
+        make_sharded_step(SimConfig(shape=(64, 96), advector="rk2"), mesh)
     with pytest.raises(NotImplementedError):
         make_sharded_step(SimConfig(shape=(64, 96), solver="multigrid"), mesh)
+
+
+def test_sharded_maccormack_matches_single_device():
+    cfgm = SimConfig(shape=(64, 96), advector="maccormack")
+    mesh = _mesh_2x4()
+    imp = Impulses.from_lists(cfgm, [(32, 48)], [(150.0, -90.0)])
+    st = init_state(cfgm)
+    fn1 = make_step(cfgm, donate=False)
+    for t in range(3):
+        st = fn1(st, imp if t == 0 else Impulses.none(cfgm))
+    st_sh = jax.device_put(init_state(cfgm),
+                           sharded_state_sharding(cfgm, mesh))
+    fns = make_sharded_step(cfgm, mesh, donate=False)
+    for t in range(3):
+        st_sh = fns(st_sh, imp if t == 0 else Impulses.none(cfgm))
+    np.testing.assert_allclose(np.asarray(st_sh.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_sh.color),
+                               np.asarray(st.color),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sharded_jacobi_matches_single_device():
