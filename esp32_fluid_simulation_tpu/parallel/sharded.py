@@ -83,9 +83,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
             f"sharded step supports advector='semilag'/'maccormack', got "
             f"{cfg.advector!r} (silently substituting would change physics "
             f"vs the single-device run)")
-    if cfg.solver not in ("sor", "jacobi"):
+    if cfg.solver not in ("sor", "jacobi", "multigrid"):
         raise NotImplementedError(
-            f"sharded step supports solver='sor'/'jacobi', got {cfg.solver!r}")
+            f"sharded step supports solver='sor'/'jacobi'/'multigrid', got "
+            f"{cfg.solver!r}")
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -239,6 +240,131 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
             done += n_here
         return p
 
+    def mg_local(d, ii, jj):
+        """Sharded geometric multigrid (solver='multigrid').
+
+        Hybrid ladder: levels stay sharded while every shard's block halves
+        cleanly (even, >= 8 per side); below that the level is all-gathered
+        and the remaining V-cycle runs replicated on every shard (coarse
+        grids are tiny; the collectives are one tiled all_gather per cycle).
+        Same restriction (2x2 mean), linear prolongation, RB smoother, and
+        -4x residual scaling as ops/multigrid.py, so the level ladder and
+        numerics match the single-device solver.
+        """
+        from ..ops.multigrid import (_vcycle as _vcycle_rep, _coarse_shapes,
+                                     _restrict, _prolong)
+        omega_s = min(cfg.omega, 1.3)
+        n_pre = n_post = 2
+
+        # static level plan: (H_l, W_l, lh_l, lw_l) while shardable
+        plan = []
+        Hl, Wl, lhl, lwl = H, W, lh, lw
+        while (lhl % 2 == 0 and lwl % 2 == 0 and lhl >= 8 and lwl >= 8
+               and min(Hl, Wl) > 3):
+            plan.append((Hl, Wl, lhl, lwl))
+            Hl, Wl, lhl, lwl = Hl // 2, Wl // 2, lhl // 2, lwl // 2
+        rep_shapes = _coarse_shapes((Hl, Wl), 32)
+
+        def consts(level):
+            Hg, Wg, lhg, lwg = plan[level]
+            ox = lax.axis_index(X_AXIS) * lhg
+            oy = lax.axis_index(Y_AXIS) * lwg
+            gi = jax.lax.broadcasted_iota(jnp.int32, (lhg, lwg), 0) + ox
+            gj = jax.lax.broadcasted_iota(jnp.int32, (lhg, lwg), 1) + oy
+            a = (4 - (gi == 0).astype(jnp.int32)
+                 - (gi == Hg - 1).astype(jnp.int32)
+                 - (gj == 0).astype(jnp.int32)
+                 - (gj == Wg - 1).astype(jnp.int32))
+            lut = jnp.asarray(
+                (-1.0 / np.arange(1, 5, dtype=np.float64)).astype(np.float32),
+                d.dtype)
+            return (gi + gj) % 2, lut[a - 1], ox, oy
+
+        w_s = jnp.asarray(omega_s, d.dtype)
+        one_m_ws = jnp.asarray(1.0 - omega_s, d.dtype)
+
+        def nbr_sum(p):
+            pp = _exchange2(p, 1, nx, ny)
+            return (pp[:-2, 1:-1] + pp[2:, 1:-1]
+                    + pp[1:-1, :-2] + pp[1:-1, 2:])
+
+        def smooth(p, b, parity, neg_inv, sweeps):
+            for _ in range(sweeps):
+                for color in (0, 1):
+                    p_new = one_m_ws * p + w_s * (neg_inv * (b - nbr_sum(p)))
+                    p = jnp.where(parity == color, p_new, p)
+            return p
+
+        def residual(p, b, level):
+            _, _, lhg, lwg = plan[level]
+            Hg, Wg = plan[level][0], plan[level][1]
+            gi = (jax.lax.broadcasted_iota(jnp.int32, (lhg, lwg), 0)
+                  + lax.axis_index(X_AXIS) * lhg)
+            gj = (jax.lax.broadcasted_iota(jnp.int32, (lhg, lwg), 1)
+                  + lax.axis_index(Y_AXIS) * lwg)
+            a = (4 - (gi == 0).astype(jnp.int32)
+                 - (gi == Hg - 1).astype(jnp.int32)
+                 - (gj == 0).astype(jnp.int32)
+                 - (gj == Wg - 1).astype(jnp.int32)).astype(d.dtype)
+            return nbr_sum(p) - a * p - b
+
+        def restrict_local(x):
+            lhg, lwg = x.shape
+            return x.reshape(lhg // 2, 2, lwg // 2, 2).mean(axis=(1, 3))
+
+        def prolong_sharded(x, level_fine):
+            # cell-centered linear interp per axis, neighbor values via
+            # edge-clamped halos (matches ops.multigrid._prolong globally)
+            for axis in (0, 1):
+                axname, n_sh = ((X_AXIS, nx) if axis == 0 else (Y_AXIS, ny))
+                xp = exchange_halo(x, 1, axis, axname, n_sh, "edge")
+                n = x.shape[axis]
+                lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+                hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
+                even = 0.75 * x + 0.25 * lo
+                odd = 0.75 * x + 0.25 * hi
+                inter = jnp.stack([even, odd], axis=axis + 1)
+                x = inter.reshape(x.shape[:axis] + (2 * n,)
+                                  + x.shape[axis + 1:])
+            return x
+
+        def vcycle(p, b, level):
+            parity, neg_inv, ox, oy = consts(level)
+            p = smooth(p, b, parity, neg_inv, n_pre)
+            r = residual(p, b, level)
+            b_c = -4.0 * restrict_local(r)
+            if level + 1 < len(plan):
+                e_c = vcycle(jnp.zeros_like(b_c), b_c, level + 1)
+            else:
+                # gather the coarse level and solve replicated
+                g = lax.all_gather(b_c, X_AXIS, axis=0, tiled=True)
+                g = lax.all_gather(g, Y_AXIS, axis=1, tiled=True)
+                e_rep = _vcycle_rep(jnp.zeros_like(g), g, rep_shapes, 0,
+                                    omega_s, n_pre, n_post, 16)
+                _, _, lhg, lwg = plan[level]
+                e_c = lax.dynamic_slice(
+                    e_rep, (lax.axis_index(X_AXIS) * (lhg // 2),
+                            lax.axis_index(Y_AXIS) * (lwg // 2)),
+                    (lhg // 2, lwg // 2))
+            p = p + prolong_sharded(e_c, level)
+            p = smooth(p, b, parity, neg_inv, n_post)
+            return p
+
+        b = jnp.asarray(dx, d.dtype) * d
+        p = jnp.zeros_like(d)
+        if not plan:  # too small to shard the ladder: replicate immediately
+            g = lax.all_gather(b, X_AXIS, axis=0, tiled=True)
+            g = lax.all_gather(g, Y_AXIS, axis=1, tiled=True)
+            from ..ops.multigrid import multigrid_solve
+            p_rep = multigrid_solve(g / jnp.asarray(dx, d.dtype), dx,
+                                    cycles=cfg.mg_cycles, omega=cfg.omega)
+            return lax.dynamic_slice(
+                p_rep, (lax.axis_index(X_AXIS) * lh,
+                        lax.axis_index(Y_AXIS) * lw), (lh, lw))
+        for _ in range(cfg.mg_cycles):
+            p = vcycle(p, b, 0)
+        return p
+
     def impulses_local(vel, imp: Impulses, ii, jj):
         """Masked overwrite at global cells — scatter-free, shard-oblivious
         (.ino:264-269 semantics; later impulses win)."""
@@ -259,7 +385,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         if cfg.vorticity_eps > 0.0:
             vel = vorticity_local(vel)
         div = divergence_local(vel)
-        p = sor_local(div, ii, jj)
+        p = (mg_local(div, ii, jj) if cfg.solver == "multigrid"
+             else sor_local(div, ii, jj))
         vel = gradient_sub_local(vel, p)
         color = advect_dispatch(state.color, vel, ii, jj, ox, oy,
                                 no_slip=False)

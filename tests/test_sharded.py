@@ -187,3 +187,21 @@ def test_sharded_jacobi_matches_single_device():
     np.testing.assert_allclose(np.asarray(out.velocity),
                                np.asarray(st.velocity),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_multigrid_matches_single_device():
+    cfgm = SimConfig(shape=(64, 96), solver="multigrid", mg_cycles=2)
+    mesh = _mesh_2x4()
+    imp = Impulses.from_lists(cfgm, [(32, 48)], [(150.0, -90.0)])
+    st = init_state(cfgm)
+    fn1 = make_step(cfgm, donate=False)
+    for t in range(3):
+        st = fn1(st, imp if t == 0 else Impulses.none(cfgm))
+    st_sh = jax.device_put(init_state(cfgm),
+                           sharded_state_sharding(cfgm, mesh))
+    fns = make_sharded_step(cfgm, mesh, donate=False)
+    for t in range(3):
+        st_sh = fns(st_sh, imp if t == 0 else Impulses.none(cfgm))
+    np.testing.assert_allclose(np.asarray(st_sh.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-4, atol=1e-4)
