@@ -151,7 +151,8 @@ def test_sharded_rejects_unsupported_configs():
     with pytest.raises(NotImplementedError):
         make_sharded_step(SimConfig(shape=(64, 96), advector="rk2"), mesh)
     with pytest.raises(NotImplementedError):
-        make_sharded_step(SimConfig(shape=(64, 96), solver="multigrid"), mesh)
+        make_sharded_step(SimConfig(shape=(64, 96), solver="sor_pallas"),
+                          mesh)
 
 
 def test_sharded_maccormack_matches_single_device():
