@@ -7,13 +7,15 @@ the boundary-condition kernels fire only on the shards that own a global
 edge — the distributed rendition of the reference's interior-fast /
 boundary-safe dispatch (``operations.h:11-38``).  Collective budget per step:
 
-* advection: one ``max_disp+1``-wide exchange per axis, shared by the
-  velocity and dye gathers (the velocity field used for both backtraces is
-  the same);
-* projection: 1-wide exchange per axis per SOR half-sweep (the freshly
-  updated opposite color must be visible before the next half-sweep —
-  ``poisson.cpp``'s sequential color semantics, preserved exactly);
-* divergence/gradient: 1-wide exchange per axis.
+* advection: one ``max_disp+1``-wide exchange per axis per advected field
+  (MacCormack adds the backward pass);
+* projection: SOR exchanges a ``sor_halo``-wide strip once per ``sor_halo``
+  half-sweeps (trapezoidal validity — red-black semantics preserved
+  exactly); Jacobi once per ``sor_halo`` iterations; multigrid smooths with
+  1-wide exchanges per level and all-gathers the tiny replicated coarse
+  ladder once per V-cycle;
+* divergence/gradient/vorticity: 1-wide exchanges, each velocity component
+  only along its own difference axis.
 
 Numerically identical (up to float reassociation) to the single-device step:
 ``tests/test_sharded.py`` pins sharded == unsharded on an 8-virtual-device
