@@ -94,10 +94,11 @@ def _use_pallas_advect(cfg: SimConfig) -> bool:
         return True
     if cfg.advect_impl == "jnp":
         return False
-    # auto: the Pallas gather kernel targets large grids on TPU (XLA's TPU
-    # gather runs at ~1e8 pts/s); small grids stay on the exact jnp path.
+    # auto: the Pallas gather kernel wins from ~512^2 up on TPU (hardware-
+    # measured; XLA's gather runs at ~1e8 pts/s); smaller grids stay on the
+    # unclamped jnp path (reference-exact, latency-floor-bound anyway).
     h, w = cfg.shape
-    return h * w >= 2048 * 2048 and jax.default_backend() == "tpu"
+    return h * w >= 512 * 512 and jax.default_backend() == "tpu"
 
 
 def _advect_by(cfg: SimConfig):

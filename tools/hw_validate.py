@@ -11,8 +11,11 @@ and prints a table + recommended config defaults.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
