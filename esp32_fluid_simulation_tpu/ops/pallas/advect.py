@@ -53,16 +53,18 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
         acc_vmem, sem = scratch
     else:
         (sem,) = scratch
-    r = pl.program_id(1)
-    cidx = pl.program_id(2)
+    n_ch = src_vmem.shape[0]
+    r = pl.program_id(0)
+    cidx = pl.program_id(1)
     row0 = r * tile_h
     col0 = cidx * tile_w
 
-    # Halo-window DMA.  fpad coords: global g -> g + pr (rows) / + pc (cols),
-    # so the window starting at (row0, col0) covers global rows
-    # [row0 - pr, row0 + tile_h + pr).
+    # Halo-window DMA, all channels at once (one program per spatial tile:
+    # per-kernel launch overhead dominated the first version's runtime).
+    # fpad coords: global g -> g + pr (rows) / + pc (cols), so the window
+    # starting at (row0, col0) covers global rows [row0-pr, row0+tile_h+pr).
     dma = pltpu.make_async_copy(
-        field_hbm.at[pl.program_id(0),
+        field_hbm.at[:,
                      pl.ds(row0, tile_h + 2 * pr),
                      pl.ds(col0, tile_w + 2 * pc)],
         src_vmem,
@@ -103,7 +105,6 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     smax = jnp.max(jnp.where(row_valid, rel_i, 0))
 
     dma.wait()
-    src = src_vmem[:].astype(f32)
 
     # Column gather: hardware lane gathers (tpu.dynamic_gather), panel-
     # decomposed because the gather source may only span one 128-lane vreg
@@ -128,27 +129,6 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
                    + jnp.where(rel_i == s - 1, w_i1, 0.0))
         return colv * contrib
 
-    if static_unroll:
-        # Fully unrolled: every possible shift is a static slice (no
-        # dynamic rotate) guarded by a runtime branch that skips shifts not
-        # present in this tile — trades code size for zero loop-carry
-        # overhead (Mosaic while-loops round-trip their carries to VMEM).
-        acc_vmem[...] = jnp.zeros((tile_h, tile_w), f32)
-        for s in range(-max_disp, max_disp + 2):
-            @pl.when(jnp.logical_and(smin <= s, s <= smax + 1))
-            def _(s=s):
-                rows_s = src[pr + s:pr + s + tile_h, :]
-                acc_vmem[...] += s_contrib(s, rows_s)
-        acc = acc_vmem[...]
-    else:
-        def s_body(s, acc):
-            # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
-            rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
-            return acc + s_contrib(s, rows_s)
-
-        acc = jnp.zeros((tile_h, tile_w), f32)
-        acc = jax.lax.fori_loop(smin, smax + 2, s_body, acc)
-
     if no_slip:
         # advect.h:57-71, computed from the *unclamped* backtrace coords.
         def axis_factor(raw, n):
@@ -160,9 +140,35 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
                 jnp.where(overshoot < 0.5, 1.0 - 2.0 * overshoot, 0.0),
                 1.0,
             )
-        acc = acc * axis_factor(si_raw, h) * axis_factor(sj_raw, w)
+        ns_factor = axis_factor(si_raw, h) * axis_factor(sj_raw, w)
 
-    out_ref[0, :, :] = acc.astype(out_ref.dtype)
+    for ch in range(n_ch):
+        src = src_vmem[ch].astype(f32)
+        if static_unroll:
+            # Fully unrolled: every possible shift is a static slice (no
+            # dynamic rotate) guarded by a runtime branch that skips shifts
+            # not present in this tile — zero loop-carry overhead (Mosaic
+            # while-loops round-trip their carries to VMEM, and the dynamic
+            # variant miscompiles on real v5e silicon at some shapes).
+            acc_vmem[...] = jnp.zeros((tile_h, tile_w), f32)
+            for s in range(-max_disp, max_disp + 2):
+                @pl.when(jnp.logical_and(smin <= s, s <= smax + 1))
+                def _(s=s, src=src):
+                    rows_s = src[pr + s:pr + s + tile_h, :]
+                    acc_vmem[...] += s_contrib(s, rows_s)
+            acc = acc_vmem[...]
+        else:
+            def s_body(s, acc, src=src):
+                # rows shifted by s: rows_s[i, :] = src[pr + i + s, :]
+                rows_s = pltpu.roll(src, -s, 0)[pr:pr + tile_h, :]
+                return acc + s_contrib(s, rows_s)
+
+            acc = jnp.zeros((tile_h, tile_w), f32)
+            acc = jax.lax.fori_loop(smin, smax + 2, s_body, acc)
+
+        if no_slip:
+            acc = acc * ns_factor
+        out_ref[ch, :, :] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -212,17 +218,17 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
     out = pl.pallas_call(
         kernel,
-        grid=(c, hp // th, wp // tw),
+        grid=(hp // th, wp // tw),
         in_specs=[
-            pl.BlockSpec((2, th, tw), lambda ci, r, cl: (0, r, cl),
+            pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # padded field, manual DMA
         ],
-        out_specs=pl.BlockSpec((1, th, tw), lambda ci, r, cl: (ci, r, cl),
+        out_specs=pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((th + 2 * pr, tw + 2 * pc), fpad.dtype)]
+            [pltpu.VMEM((c, th + 2 * pr, tw + 2 * pc), fpad.dtype)]
             + ([pltpu.VMEM((th, tw), jnp.float32)] if static_unroll else [])
             + [pltpu.SemaphoreType.DMA]
         ),
