@@ -95,10 +95,14 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
 
 
 def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
-    from esp32_fluid_simulation_tpu.ops.poisson import sor_solve
-
+    # production path: the fused single-pass Pallas solve on TPU
+    if jax.default_backend() == "tpu" and len(shape) == 2:
+        from esp32_fluid_simulation_tpu.ops.pallas.sor import sor_solve_pallas
+        fn = jax.jit(lambda x: sor_solve_pallas(x, 1.0, iters, 1.96))
+    else:
+        from esp32_fluid_simulation_tpu.ops.poisson import sor_solve
+        fn = jax.jit(lambda x: sor_solve(x, 1.0, iters, 1.96))
     d = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
-    fn = jax.jit(lambda x: sor_solve(x, 1.0, iters, 1.96))
     _sync(fn(d))
     t0 = time.time()
     cur = d
@@ -145,10 +149,10 @@ def main():
     results["fps_4096"] = fps_4k
     results["fps_4096_path"] = 1.0 if use_pallas else 0.0  # 1=pallas kernels
 
-    # Config 2 flavor: 512^2 with vorticity confinement.
+    # Config 2 flavor: 512^2 with vorticity confinement (auto kernel path).
     results["fps_512_vort"] = bench_step_fps(
         SimConfig(shape=(256, 256) if smoke else (512, 512),
-                  vorticity_eps=2.0, advect_impl="jnp"), n=n_big)
+                  vorticity_eps=2.0), n=n_big)
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)
