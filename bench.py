@@ -141,7 +141,10 @@ def main():
 
     big_kwargs = dict(shape=big_shape, scaling=1)
     if use_pallas:
-        big_kwargs.update(solver="fused_pallas", advect_impl="pallas")
+        # production config: fused kernels + bf16 dye (SURVEY §7's bandwidth
+        # lever; dye precision is visual-only)
+        big_kwargs.update(solver="fused_pallas", advect_impl="pallas",
+                          color_dtype="bfloat16")
     else:
         big_kwargs.update(advect_impl="jnp")
     big_cfg = SimConfig(**big_kwargs)
