@@ -2,6 +2,10 @@
 kernels (advect.h, finitediff.cpp, poisson.cpp, .ino init/loop), used as the
 golden arbiter for parity tests (SURVEY.md §4.2).
 
+As a transliteration this file is a derived work of the MIT-licensed
+reference (© 2021, 2023, 2025 colonelwatch) — see LICENSE (NOTICE section)
+at the repo root for the attribution.
+
 Conventions: arrays are indexed ``arr[i, j]`` where ``i`` is the reference's
 fast axis bounded by ``dim_x = N_ROWS`` and ``j`` bounded by ``dim_y =
 N_COLS`` (``operations.h:7-9``).  Vector fields carry a trailing channel
