@@ -6,24 +6,38 @@ arbitrary gather, but the backtrace displacement is physically bounded by the
 CFL number; this kernel exploits that:
 
 * the grid is tiled; each program DMAs its (tile + halo) window of the field
-  from HBM into VMEM.  The halo covers ``max_disp + 1`` cells and is rounded
-  up to hardware tile multiples (8 sublanes / 128 lanes) so every VMEM shape
-  is aligned;
+  from HBM into VMEM.  The halo covers ``max_disp + 1`` cells, rounded up to
+  hardware tile multiples so every VMEM shape is aligned;
 * the column component of the bilinear gather is ONE hardware op —
   ``tpu.dynamic_gather`` (``jnp.take_along_axis`` along lanes), the only
   arbitrary per-element gather the VPU has.  A full 2D per-element gather
   cannot be composed from two 1D gathers (the inner index field would be
   re-evaluated at gathered positions), so the row component is resolved by a
-  short *dynamic* loop over the integer row shifts actually present in the
-  tile (``fori_loop`` over the tile's min/max backtrace offset — typically a
-  handful, bounded by ``2*max_disp+2``); each iteration rotates the haloed
-  tile by one row shift (``tpu.dynamic_rotate`` — Mosaic has no unaligned
-  dynamic vector loads, but it does have dynamic rotates), lane-gathers the
-  two bilinear columns, and accumulates the masked row weight;
+  short loop over the integer row shifts actually present;
 * boundary semantics match the reference sampler (``advect.h:24-72``):
   clamped-coordinate multilinear interpolation == edge lerp, and the no-slip
   overshoot discount is computed from the *unclamped* coords and applied at
   the end.
+
+Variants (an optimization lineage; "panel" is the production path):
+
+* ``panel`` (default) — per-(output-panel, shift) occupancy skips: each
+  128-lane output panel reduces its own backtrace row-shift range and only
+  runs the shifts present there (the velocity field is smooth, so a 128x128
+  panel typically spans 2-4 shifts while the whole tile spans 10-30).  The
+  halo window is DMA'd at a 64-lane left offset so every output panel's
+  column indices land in exactly TWO 128-lane source panels (the minimum —
+  the index span is 128+2*max_disp+2 > 128 lanes).  For bfloat16 fields the
+  two bilinear column taps come back in ONE hardware gather: adjacent bf16
+  columns (k, k+1) are packed into one f32 lane (bf16 -> f32 widening is
+  exact, so this path is bit-identical to gathering the bf16 values
+  separately).  Weights/masks are computed once per (panel, shift) and
+  shared across channels.
+* ``tilewide`` — the round-1 kernel: tile-wide shift range, fully unrolled
+  with ``pl.when`` skips, 3-panel gather band (``gather_utils``).
+* ``dynamic`` — ``fori_loop`` over shifts with ``tpu.dynamic_rotate``.
+  MISCOMPILES on real v5e silicon at some shapes (interpret mode and the AOT
+  verifier do not catch it); kept only as a reproducer.
 
 Displacements beyond ``max_disp`` cells are clamped (a CFL clamp — standard
 practice; the pure-jnp path in ``ops.advect`` remains the unclamped
@@ -41,38 +55,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gather_utils import lane_gather
 
+LANE = 128
+_PANEL_LH = 64          # left lane halo of the DMA window (panel variant)
 
-def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
-                   dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
-                   static_unroll):
-    """One (channel, row-tile, col-tile) program.
 
-    pr/pc: aligned halo widths (rows/cols), both > max_disp.
+def _bitcast_u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _bitcast_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
+               no_slip):
+    """Common backtrace coordinate math (advect.h:78-84).
+
+    Returns (i0-rel row shift, row-lerp weights, col0-relative float col,
+    col frac, row_valid mask, no-slip factor or None).
     """
-    if static_unroll:
-        acc_vmem, sem = scratch
-    else:
-        (sem,) = scratch
-    n_ch = src_vmem.shape[0]
-    r = pl.program_id(0)
-    cidx = pl.program_id(1)
-    row0 = r * tile_h
-    col0 = cidx * tile_w
-
-    # Halo-window DMA, all channels at once (one program per spatial tile:
-    # per-kernel launch overhead dominated the first version's runtime).
-    # fpad coords: global g -> g + pr (rows) / + pc (cols), so the window
-    # starting at (row0, col0) covers global rows [row0-pr, row0+tile_h+pr).
-    dma = pltpu.make_async_copy(
-        field_hbm.at[:,
-                     pl.ds(row0, tile_h + 2 * pr),
-                     pl.ds(col0, tile_w + 2 * pc)],
-        src_vmem,
-        sem,
-    )
-    dma.start()
-
-    # Backtrace coordinates (advect.h:81): source = idx - vel*dt.
     f32 = jnp.float32
     i_loc = jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(f32)
@@ -97,38 +98,12 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     dj = sj - j0
 
     rel_i = (i0 - i_glob).astype(jnp.int32)   # in [-max_disp, max_disp]
-    # Loop bounds from VALID rows only: rows padded beyond h (tile round-up)
-    # clamp toward the domain and would otherwise widen the shift range to
-    # ~tile_h on the last tile; their outputs are cropped anyway.
+    # Valid-row mask: rows padded beyond h (tile round-up) clamp toward the
+    # domain and would otherwise widen the shift range to ~tile_h on the
+    # last tile; their outputs are cropped anyway.
     row_valid = i_glob <= f32(h - 1)
-    smin = jnp.min(jnp.where(row_valid, rel_i, 0))
-    smax = jnp.max(jnp.where(row_valid, rel_i, 0))
 
-    dma.wait()
-
-    # Column gather: hardware lane gathers (tpu.dynamic_gather), panel-
-    # decomposed because the gather source may only span one 128-lane vreg
-    # (gather_utils).  The backtrace is CFL-bounded, so each 128-wide output
-    # panel po only ever indexes source panels {po, po+1, po+2} (the halo is
-    # one 128-lane panel).  The remaining row displacement is a short
-    # dynamic loop over the integer shifts actually present in the tile
-    # (typically a handful; bounded by 2*max_disp+2).
-    lj = (j0 - f32(col0 - pc)).astype(jnp.int32)  # local col of j0 in src
-    lj1 = lj + 1
-    one_m_dj = 1.0 - dj
-    w_i0 = 1.0 - di
-    w_i1 = di
-    q_base = lambda po: po  # noqa: E731  (pc == 128 panels exactly)
-    band = pc // 128 + 2
-
-    def s_contrib(s, rows_s):
-        g0 = lane_gather(rows_s, lj, q_base=q_base, band=band)
-        g1 = lane_gather(rows_s, lj1, q_base=q_base, band=band)
-        colv = g0 * one_m_dj + g1 * dj
-        contrib = (jnp.where(rel_i == s, w_i0, 0.0)
-                   + jnp.where(rel_i == s - 1, w_i1, 0.0))
-        return colv * contrib
-
+    ns_factor = None
     if no_slip:
         # advect.h:57-71, computed from the *unclamped* backtrace coords.
         def axis_factor(raw, n):
@@ -141,6 +116,177 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
                 1.0,
             )
         ns_factor = axis_factor(si_raw, h) * axis_factor(sj_raw, w)
+
+    return rel_i, (1.0 - di, di), j0, dj, row_valid, ns_factor
+
+
+def _advect_kernel_panel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem,
+                         sem, *, dt, max_disp, tile_h, tile_w, pr, h, w,
+                         no_slip, pack):
+    """One (row-tile, col-tile) program; all channels.  See module doc,
+    variant "panel".
+
+    Ref-access discipline (Mosaic): scratch refs are only ever read/written
+    whole-channel (``ref[ch]``) or with 2D aligned slices; the shifted row
+    windows are *value* slices, like the proven tilewide kernel — 3D-ref
+    partial slices crash the Mosaic lowering on v5e.
+    ``acc_vmem`` is (c*tile_h, tile_w): channel c's accumulator lives at
+    rows [c*tile_h, (c+1)*tile_h) so every store is a 2D aligned slice.
+    """
+    n_ch = src_vmem.shape[0]
+    ww = tile_w + 2 * _PANEL_LH        # window width (lane-dim)
+    r = pl.program_id(0)
+    cidx = pl.program_id(1)
+    row0 = r * tile_h
+    col0 = cidx * tile_w
+
+    # Halo-window DMA, all channels at once.  fpad coords: global g ->
+    # g + pr (rows) / g + LH (cols); the window starting at fpad (row0, col0)
+    # covers global rows [row0-pr, row0+tile_h+pr) and cols
+    # [col0-LH, col0+tile_w+LH).  LH=64 >= max_disp+1 is the left halo; the
+    # 64 trailing lanes double as the right halo, so every output panel po
+    # gathers from source panels {po, po+1} only.
+    dma = pltpu.make_async_copy(
+        field_hbm.at[:, pl.ds(row0, tile_h + 2 * pr), pl.ds(col0, ww)],
+        src_vmem,
+        sem,
+    )
+    dma.start()
+
+    f32 = jnp.float32
+    rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
+        vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
+        tile_w=tile_w, h=h, w=w, no_slip=no_slip)
+
+    # Local column of j0 inside the window: lj - (output lane) is in
+    # [LH-max_disp-1, LH+max_disp] ⊂ [1, 127] for max_disp <= 62.
+    lj = (j0 - f32(col0 - _PANEL_LH)).astype(jnp.int32)
+
+    dma.wait()
+
+    wins = []
+    for ch in range(n_ch):
+        x = src_vmem[ch].astype(f32)
+        if pack:
+            # Pack adjacent bf16 columns (k, k+1) into one f32 lane: an f32
+            # widened from bf16 carries the bf16 bits in its TOP half, so
+            # lane k = (bits(x[k]) << 16) | bits(x[k+1]) as uint32.  One
+            # gather then returns both bilinear column taps, exactly.
+            nxt = pltpu.roll(x, ww - 1, 1)         # x shifted left by one
+            x = _bitcast_f32(_bitcast_u32(x) | (_bitcast_u32(nxt) >> 16))
+        wins.append(x)
+
+    acc_vmem[...] = jnp.zeros(acc_vmem.shape, f32)
+
+    # Materialized full-width masked shifts: reducing a lane-slice of a
+    # where()-of-slices expression crashes the Mosaic compiler on v5e
+    # ("Check failed: limits[i] <= dim(i)"); reducing a slice of this
+    # materialized array is fine.
+    masked_rel = jnp.where(row_valid, rel_i, 0)
+
+    n_out = tile_w // LANE
+    for po in range(n_out):
+        sl = slice(po * LANE, (po + 1) * LANE)
+        rel_p = rel_i[:, sl]
+        w0_p = w_i0[:, sl]
+        w1_p = w_i1[:, sl]
+        dj_p = dj[:, sl]
+        lj_p = lj[:, sl]
+        div_p = jnp.floor_divide(lj_p, LANE)
+        mod_p = jnp.bitwise_and(lj_p, LANE - 1)
+        e_q = [div_p == po, div_p == po + 1]
+        if not pack:
+            lj1_p = lj_p + 1
+            div1_p = jnp.floor_divide(lj1_p, LANE)
+            mod1_p = jnp.bitwise_and(lj1_p, LANE - 1)
+            e1_q = [div1_p == po, div1_p == po + 1]
+        one_m_dj = 1.0 - dj_p
+
+        # This panel's own shift range (occupancy skip): the smooth velocity
+        # field makes it a small subset of the tile-wide range.
+        smin = jnp.min(masked_rel[:, sl])
+        smax = jnp.max(masked_rel[:, sl])
+
+        for s in range(-max_disp, max_disp + 2):
+            @pl.when(jnp.logical_and(smin <= s, s <= smax + 1))
+            def _(s=s, po=po, sl=sl):
+                # shift s serves rows with i0-row == s (weight 1-di) and
+                # rows with i0+1-row == s (weight di)
+                contrib = (jnp.where(rel_p == s, w0_p, 0.0)
+                           + jnp.where(rel_p == s - 1, w1_p, 0.0))
+                for ch in range(n_ch):
+                    rows_s = wins[ch][pr + s:pr + s + tile_h, :]
+                    colv = jnp.zeros((tile_h, LANE), f32)
+                    for qi, q in enumerate((po, po + 1)):
+                        pan = rows_s[:, q * LANE:(q + 1) * LANE]
+                        if pack:
+                            g = jnp.take_along_axis(pan, mod_p, axis=1)
+                            gu = _bitcast_u32(g)
+                            v0 = _bitcast_f32(gu & jnp.uint32(0xFFFF0000))
+                            v1 = _bitcast_f32(gu << 16)
+                            cv = v0 * one_m_dj + v1 * dj_p
+                            colv += jnp.where(e_q[qi], cv, 0.0)
+                        else:
+                            g0 = jnp.take_along_axis(pan, mod_p, axis=1)
+                            g1 = jnp.take_along_axis(pan, mod1_p, axis=1)
+                            colv += (jnp.where(e_q[qi], g0, 0.0) * one_m_dj
+                                     + jnp.where(e1_q[qi], g1, 0.0) * dj_p)
+                    acc_vmem[ch * tile_h:(ch + 1) * tile_h, sl] += (
+                        colv * contrib)
+
+    for ch in range(n_ch):
+        a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
+        if no_slip:
+            a = a * ns_factor
+        out_ref[ch, :, :] = a.astype(out_ref.dtype)
+
+
+def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
+                   dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
+                   static_unroll):
+    """Round-1 kernel (variants "tilewide"/"dynamic"): tile-wide shift
+    range, 3-panel gather band.  pr/pc: aligned halo widths, > max_disp."""
+    if static_unroll:
+        acc_vmem, sem = scratch
+    else:
+        (sem,) = scratch
+    n_ch = src_vmem.shape[0]
+    r = pl.program_id(0)
+    cidx = pl.program_id(1)
+    row0 = r * tile_h
+    col0 = cidx * tile_w
+
+    dma = pltpu.make_async_copy(
+        field_hbm.at[:,
+                     pl.ds(row0, tile_h + 2 * pr),
+                     pl.ds(col0, tile_w + 2 * pc)],
+        src_vmem,
+        sem,
+    )
+    dma.start()
+
+    f32 = jnp.float32
+    rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
+        vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
+        tile_w=tile_w, h=h, w=w, no_slip=no_slip)
+    smin = jnp.min(jnp.where(row_valid, rel_i, 0))
+    smax = jnp.max(jnp.where(row_valid, rel_i, 0))
+
+    dma.wait()
+
+    lj = (j0 - f32(col0 - pc)).astype(jnp.int32)  # local col of j0 in src
+    lj1 = lj + 1
+    one_m_dj = 1.0 - dj
+    q_base = lambda po: po  # noqa: E731  (pc == 128 panels exactly)
+    band = pc // 128 + 2
+
+    def s_contrib(s, rows_s):
+        g0 = lane_gather(rows_s, lj, q_base=q_base, band=band)
+        g1 = lane_gather(rows_s, lj1, q_base=q_base, band=band)
+        colv = g0 * one_m_dj + g1 * dj
+        contrib = (jnp.where(rel_i == s, w_i0, 0.0)
+                   + jnp.where(rel_i == s - 1, w_i1, 0.0))
+        return colv * contrib
 
     for ch in range(n_ch):
         src = src_vmem[ch].astype(f32)
@@ -174,65 +320,99 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
-                     "static_unroll"))
+                     "static_unroll", "variant"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 128, tile_w: int = 1024,
-                  static_unroll: bool = True):
+                  static_unroll: bool | None = None, variant: str = "panel"):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
     are clamped to ``max_disp`` cells (CFL clamp).
 
-    ``static_unroll=True`` is the default and the production path: measured
-    bit-exact AND ~5x faster than the dynamic fori_loop variant on real v5e
-    hardware (0.11 ms vs 0.60 ms for a 3-channel 1024^2 advect).  The
-    dynamic variant MISCOMPILES on real silicon (tpu.dynamic_rotate inside a
-    while-loop produced wrong values on half the grid; interpret mode and
-    the AOT verifier do not catch it) — kept only as a reproducer.
+    variant: "panel" (production; per-panel occupancy skips, 2-panel gather
+    band, packed-pair bf16 gathers), "tilewide" (round-1 kernel), "dynamic"
+    (fori_loop + dynamic rotate — miscompiles on real v5e at some shapes;
+    kept as a reproducer).  ``static_unroll`` is a legacy alias:
+    True -> "tilewide", False -> "dynamic".
     """
+    if static_unroll is not None:
+        variant = "tilewide" if static_unroll else "dynamic"
     if max_disp + 1 > 128:
         raise ValueError(
             f"max_disp={max_disp} exceeds the one-panel lane halo the "
             f"gather band assumes (max_disp <= 127)")
+    if variant == "panel" and max_disp > _PANEL_LH - 2:
+        variant = "tilewide"   # 2-panel band needs max_disp <= 62
     squeeze = field.ndim == 2
     if squeeze:
         field = field[None]
     c, h, w = field.shape
     pr = pl.cdiv(max_disp + 1, 8) * 8       # aligned sublane halo
-    pc = pl.cdiv(max_disp + 1, 128) * 128   # aligned lane halo
     th = min(tile_h, pl.cdiv(h, 8) * 8)
     tw = min(tile_w, pl.cdiv(w, 128) * 128)
     hp = pl.cdiv(h, th) * th
     wp = pl.cdiv(w, tw) * tw
 
-    # Zero-pad: halo on all sides plus tiling round-up.  Padded values are
-    # never selected (masks guarantee in-domain indices); they only make the
-    # window DMAs unconditionally in-bounds.
-    fpad = jnp.pad(field, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
-    vpad = jnp.pad(vel, ((0, 0), (0, hp - h), (0, wp - w)))
+    if variant == "panel":
+        lh = _PANEL_LH
+        ww = tw + 2 * lh
+        pack = field.dtype == jnp.bfloat16
+        # Zero-pad: halo on all sides plus tiling round-up.  Padded values
+        # are never selected for valid outputs (masks guarantee in-domain
+        # indices); they only make the window DMAs unconditionally in-bounds.
+        fpad = jnp.pad(field,
+                       ((0, 0), (pr, pr + hp - h), (lh, lh + wp - w)))
+        vpad = jnp.pad(vel, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    kernel = functools.partial(
-        _advect_kernel, dt=dt, max_disp=max_disp, tile_h=th, tile_w=tw,
-        pr=pr, pc=pc, h=h, w=w, no_slip=no_slip,
-        static_unroll=static_unroll)
+        kernel = functools.partial(
+            _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
+            tile_w=tw, pr=pr, h=h, w=w, no_slip=no_slip, pack=pack)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(hp // th, wp // tw),
-        in_specs=[
-            pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # padded field, manual DMA
-        ],
-        out_specs=pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
-        scratch_shapes=(
-            [pltpu.VMEM((c, th + 2 * pr, tw + 2 * pc), fpad.dtype)]
-            + ([pltpu.VMEM((th, tw), jnp.float32)] if static_unroll else [])
-            + [pltpu.SemaphoreType.DMA]
-        ),
-    )(vpad, fpad)
+        out = pl.pallas_call(
+            kernel,
+            grid=(hp // th, wp // tw),
+            in_specs=[
+                pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
+            ],
+            out_specs=pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype),
+                pltpu.VMEM((c * th, tw), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(vpad, fpad)
+    else:
+        pc = pl.cdiv(max_disp + 1, 128) * 128   # aligned lane halo
+        fpad = jnp.pad(field, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
+        vpad = jnp.pad(vel, ((0, 0), (0, hp - h), (0, wp - w)))
+
+        kernel = functools.partial(
+            _advect_kernel, dt=dt, max_disp=max_disp, tile_h=th, tile_w=tw,
+            pr=pr, pc=pc, h=h, w=w, no_slip=no_slip,
+            static_unroll=(variant == "tilewide"))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(hp // th, wp // tw),
+            in_specs=[
+                pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
+            ],
+            out_specs=pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
+            scratch_shapes=(
+                [pltpu.VMEM((c, th + 2 * pr, tw + 2 * pc), fpad.dtype)]
+                + ([pltpu.VMEM((th, tw), jnp.float32)]
+                   if variant == "tilewide" else [])
+                + [pltpu.SemaphoreType.DMA]
+            ),
+        )(vpad, fpad)
 
     out = out[:, :h, :w]
     return out[0] if squeeze else out
