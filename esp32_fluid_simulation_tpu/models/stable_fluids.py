@@ -108,10 +108,12 @@ def _advect_by(cfg: SimConfig):
         return advect_rk2
     if _use_pallas_advect(cfg):
         from ..ops.pallas.advect import advect_pallas
+        bf16 = cfg.advect_sample_dtype == "bfloat16"
 
         def adv(field, vel, dt, no_slip):
             return advect_pallas(field, vel, dt, no_slip,
-                                 max_disp=cfg.advect_max_disp)
+                                 max_disp=cfg.advect_max_disp,
+                                 sample_bf16=bf16)
         return adv
     return advect
 

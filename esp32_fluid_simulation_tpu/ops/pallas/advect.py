@@ -47,6 +47,7 @@ reference implementation and the small-grid default).
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,19 +69,27 @@ def _bitcast_f32(x):
 
 
 def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
-               no_slip):
+               no_slip, goff=None, bh=None):
     """Common backtrace coordinate math (advect.h:78-84).
 
-    Returns (i0-rel row shift, row-lerp weights, col0-relative float col,
-    col frac, row_valid mask, no-slip factor or None).
+    ``goff``: traced (or zero) global offset of this *block* — under
+    ``shard_map`` each shard runs the kernel on its local block and the
+    domain clamps/no-slip tests need global coordinates.
+
+    Returns (i0-rel row shift, row-lerp weights, global float col of the
+    left bilinear tap, col frac, row_valid mask, no-slip factor or None).
     """
     f32 = jnp.float32
     i_loc = jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(f32)
     j_loc = jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 1).astype(f32)
-    i_glob = i_loc + f32(row0)
-    j_glob = j_loc + f32(col0)
+    if goff is None:
+        i_glob = i_loc + f32(row0)
+        j_glob = j_loc + f32(col0)
+    else:
+        i_glob = i_loc + f32(row0) + goff[0].astype(f32)
+        j_glob = j_loc + f32(col0) + goff[1].astype(f32)
     v0 = vel_ref[0].astype(f32)
     v1 = vel_ref[1].astype(f32)
     si_raw = i_glob - v0 * f32(dt)
@@ -98,10 +107,12 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
     dj = sj - j0
 
     rel_i = (i0 - i_glob).astype(jnp.int32)   # in [-max_disp, max_disp]
-    # Valid-row mask: rows padded beyond h (tile round-up) clamp toward the
-    # domain and would otherwise widen the shift range to ~tile_h on the
-    # last tile; their outputs are cropped anyway.
+    # Valid-row mask: rows padded beyond the domain / block (tile round-up)
+    # clamp toward the domain and would otherwise widen the shift range to
+    # ~tile_h on the last tile; their outputs are cropped anyway.
     row_valid = i_glob <= f32(h - 1)
+    if bh is not None:
+        row_valid &= (i_loc + f32(row0)) <= f32(bh - 1)
 
     ns_factor = None
     if no_slip:
@@ -120,9 +131,9 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
     return rel_i, (1.0 - di, di), j0, dj, row_valid, ns_factor
 
 
-def _advect_kernel_panel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem,
-                         sem, *, dt, max_disp, tile_h, tile_w, pr, h, w,
-                         no_slip, pack):
+def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
+                         acc_vmem, sem, *, dt, max_disp, tile_h, tile_w, pr,
+                         h, w, bh, no_slip, pack):
     """One (row-tile, col-tile) program; all channels.  See module doc,
     variant "panel".
 
@@ -154,13 +165,15 @@ def _advect_kernel_panel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem,
     dma.start()
 
     f32 = jnp.float32
+    goff = (goff_ref[0, 0], goff_ref[0, 1])
     rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
         vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
-        tile_w=tile_w, h=h, w=w, no_slip=no_slip)
+        tile_w=tile_w, h=h, w=w, no_slip=no_slip, goff=goff, bh=bh)
 
     # Local column of j0 inside the window: lj - (output lane) is in
-    # [LH-max_disp-1, LH+max_disp] ⊂ [1, 127] for max_disp <= 62.
-    lj = (j0 - f32(col0 - _PANEL_LH)).astype(jnp.int32)
+    # [LH-max_disp-1, LH+max_disp] ⊂ [1, 127] for max_disp <= 62.  j0 is a
+    # global coordinate; subtract the block offset to land in the window.
+    lj = (j0 - goff[1].astype(f32) - f32(col0 - _PANEL_LH)).astype(jnp.int32)
 
     dma.wait()
 
@@ -172,6 +185,10 @@ def _advect_kernel_panel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem,
             # widened from bf16 carries the bf16 bits in its TOP half, so
             # lane k = (bits(x[k]) << 16) | bits(x[k+1]) as uint32.  One
             # gather then returns both bilinear column taps, exactly.
+            # For f32 fields this path is opt-in (sample_bf16): source
+            # values are rounded to bf16 first — approximate, ~2x faster.
+            if src_vmem.dtype != jnp.bfloat16:
+                x = x.astype(jnp.bfloat16).astype(f32)
             nxt = pltpu.roll(x, ww - 1, 1)         # x shifted left by one
             x = _bitcast_f32(_bitcast_u32(x) | (_bitcast_u32(nxt) >> 16))
         wins.append(x)
@@ -320,20 +337,34 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
-                     "static_unroll", "variant"))
+                     "static_unroll", "variant", "global_shape", "halo",
+                     "sample_bf16"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
-                  max_disp: int = 12, tile_h: int = 128, tile_w: int = 1024,
-                  static_unroll: bool | None = None, variant: str = "panel"):
+                  max_disp: int = 12, tile_h: int = 32, tile_w: int = 1024,
+                  static_unroll: bool | None = None, variant: str = "panel",
+                  global_offset: jax.Array | None = None,
+                  global_shape: Tuple[int, int] | None = None,
+                  halo: int = 0, sample_bf16: bool = False):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
-    are clamped to ``max_disp`` cells (CFL clamp).
+    are clamped to ``max_disp`` cells (CFL clamp).  ``tile_h=32`` measured
+    fastest on v5e at 4096^2 (narrow tiles tighten the per-panel backtrace
+    shift range — see the panel variant below).
 
     variant: "panel" (production; per-panel occupancy skips, 2-panel gather
     band, packed-pair bf16 gathers), "tilewide" (round-1 kernel), "dynamic"
     (fori_loop + dynamic rotate — miscompiles on real v5e at some shapes;
     kept as a reproducer).  ``static_unroll`` is a legacy alias:
     True -> "tilewide", False -> "dynamic".
+
+    Block mode (the ``shard_map`` path; "panel" only): when
+    ``global_offset`` — a traced ``(2,)`` int32 array — is given, ``field``
+    is one shard's local block carrying ``halo`` exchanged ghost cells per
+    side (``parallel.halo.exchange_halo``), ``vel`` is the unpadded local
+    block, and ``global_shape`` is the full-domain extent the boundary
+    clamps / no-slip tests evaluate against.  Requires
+    ``halo >= max_disp + 1`` of valid neighbor data.
     """
     if static_unroll is not None:
         variant = "tilewide" if static_unroll else "dynamic"
@@ -343,35 +374,61 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             f"gather band assumes (max_disp <= 127)")
     if variant == "panel" and max_disp > _PANEL_LH - 2:
         variant = "tilewide"   # 2-panel band needs max_disp <= 62
+    block_mode = global_offset is not None
+    if block_mode and variant != "panel":
+        raise ValueError("block mode (global_offset) requires the panel "
+                         "variant (max_disp <= 62)")
+    if block_mode and halo < max_disp + 1:
+        raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
+                         f"({halo} < {max_disp + 1})")
     squeeze = field.ndim == 2
     if squeeze:
         field = field[None]
-    c, h, w = field.shape
+    c = field.shape[0]
+    if block_mode:
+        bh, bw = field.shape[1] - 2 * halo, field.shape[2] - 2 * halo
+        h, w = global_shape
+    else:
+        bh, bw = field.shape[1], field.shape[2]
+        h, w = bh, bw
     pr = pl.cdiv(max_disp + 1, 8) * 8       # aligned sublane halo
-    th = min(tile_h, pl.cdiv(h, 8) * 8)
-    tw = min(tile_w, pl.cdiv(w, 128) * 128)
-    hp = pl.cdiv(h, th) * th
-    wp = pl.cdiv(w, tw) * tw
+    th = min(tile_h, pl.cdiv(bh, 8) * 8)
+    tw = min(tile_w, pl.cdiv(bw, 128) * 128)
+    hp = pl.cdiv(bh, th) * th
+    wp = pl.cdiv(bw, tw) * tw
+    goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
+            else global_offset.astype(jnp.int32).reshape(1, 2))
 
     if variant == "panel":
         lh = _PANEL_LH
         ww = tw + 2 * lh
-        pack = field.dtype == jnp.bfloat16
+        # bf16 fields pack exactly; f32 fields pack (lossily, rounding the
+        # source to bf16) only when sample_bf16 is set — a production-perf
+        # knob that halves the gather count and window DMA.
+        pack = field.dtype == jnp.bfloat16 or sample_bf16
+        if halo > min(pr, lh):
+            raise ValueError(f"halo={halo} exceeds the aligned kernel halo "
+                             f"(pr={pr}, lane halo {lh})")
         # Zero-pad: halo on all sides plus tiling round-up.  Padded values
         # are never selected for valid outputs (masks guarantee in-domain
         # indices); they only make the window DMAs unconditionally in-bounds.
+        # In block mode the innermost ``halo`` ring is the exchanged
+        # neighbor data and stays where the coordinate maps expect it.
         fpad = jnp.pad(field,
-                       ((0, 0), (pr, pr + hp - h), (lh, lh + wp - w)))
-        vpad = jnp.pad(vel, ((0, 0), (0, hp - h), (0, wp - w)))
+                       ((0, 0), (pr - halo, pr - halo + hp - bh),
+                        (lh - halo, lh - halo + wp - bw)))
+        vpad = jnp.pad(vel, ((0, 0), (0, hp - bh), (0, wp - bw)))
 
         kernel = functools.partial(
             _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
-            tile_w=tw, pr=pr, h=h, w=w, no_slip=no_slip, pack=pack)
+            tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack)
 
         out = pl.pallas_call(
             kernel,
             grid=(hp // th, wp // tw),
             in_specs=[
+                pl.BlockSpec((1, 2), lambda r, cl: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
@@ -384,7 +441,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                 pltpu.VMEM((c * th, tw), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
-        )(vpad, fpad)
+        )(goff, vpad, fpad)
     else:
         pc = pl.cdiv(max_disp + 1, 128) * 128   # aligned lane halo
         fpad = jnp.pad(field, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
@@ -414,5 +471,5 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             ),
         )(vpad, fpad)
 
-    out = out[:, :h, :w]
+    out = out[:, :bh, :bw]
     return out[0] if squeeze else out

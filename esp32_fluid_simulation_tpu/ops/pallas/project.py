@@ -28,8 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _project_kernel(v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
-                    *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
+def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
+                    *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh,
+                    bw):
     r = pl.program_id(0)
     c = pl.program_id(1)
     row0 = r * tile_h
@@ -42,9 +43,24 @@ def _project_kernel(v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
     dma.start()
 
     f32 = jnp.float32
-    gi = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + (row0 - pr)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + (col0 - pc)
+    # global coordinates: block-local window position + the (traced) block
+    # offset — zero on a single chip, the shard origin under shard_map
+    gi = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + (row0 - pr)
+          + goff_ref[0, 0])
+    gj = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + (col0 - pc)
+          + goff_ref[0, 1])
     in_dom = (gi >= 0) & (gi < h) & (gj >= 0) & (gj < w)
+    if (bh, bw) != (h, w):
+        # Block mode: window cells past the block's exchanged halo are
+        # zero-padding, not real field data — keep them out of the solve.
+        # (They are beyond the trapezoidal validity horizon, so the owned
+        # tile's result is unaffected either way; masking keeps the halo
+        # accounting explicit.)  hm = valid ghost width per side.
+        li = gi - goff_ref[0, 0]
+        lj = gj - goff_ref[0, 1]
+        hm = 2 * iters + 2
+        in_dom &= ((li >= -hm) & (li < bh + hm)
+                   & (lj >= -hm) & (lj < bw + hm))
     parity_is_even = ((gi + gj) % 2) == 0
     at_i_lo = gi == 0
     at_i_hi = gi == h - 1
@@ -112,31 +128,61 @@ def _project_kernel(v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
 
 @functools.partial(jax.jit,
                    static_argnames=("dx", "iters", "omega", "tile_h",
-                                    "tile_w"))
+                                    "tile_w", "global_shape", "halo"))
 def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
                          omega: float = 1.96, tile_h: int = 128,
-                         tile_w: int = 1024):
+                         tile_w: int = 1024,
+                         global_offset: jax.Array | None = None,
+                         global_shape=None, halo: int = 0):
     """(projected velocity, pressure) — replaces divergence + sor_solve +
-    subtract_gradient for 2D grids."""
-    _, h, w = vel.shape
-    halo = 2 * iters + 2
-    pr = pl.cdiv(halo, 8) * 8
-    pc = pl.cdiv(halo, 128) * 128
-    th = min(tile_h, pl.cdiv(h, 8) * 8)
-    tw = min(tile_w, pl.cdiv(w, 128) * 128)
-    hp = pl.cdiv(h, th) * th
-    wp = pl.cdiv(w, tw) * tw
+    subtract_gradient for 2D grids.
 
-    vpad = jnp.pad(vel, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
+    Block mode (the ``shard_map`` path): when ``global_offset`` — a traced
+    ``(2,)`` int32 array — is given, ``vel`` is one shard's local block
+    carrying ``halo >= 2*iters + 2`` exchanged ghost cells per side and
+    ``global_shape`` is the full-domain extent for the boundary-condition
+    masks.  One halo exchange then replaces the composed path's
+    ``2*iters + 3`` per-stencil collectives.
+    """
+    need = 2 * iters + 2
+    block_mode = global_offset is not None
+    if block_mode and halo < need:
+        raise ValueError(f"block mode needs halo >= 2*iters+2 ghost cells "
+                         f"({halo} < {need})")
+    if block_mode:
+        bh, bw = vel.shape[1] - 2 * halo, vel.shape[2] - 2 * halo
+        h, w = global_shape
+    else:
+        _, bh, bw = vel.shape
+        h, w = bh, bw
+        halo = 0
+    pr = pl.cdiv(need, 8) * 8
+    pc = pl.cdiv(need, 128) * 128
+    if halo > min(pr, pc):
+        raise ValueError(f"halo={halo} exceeds the aligned kernel window "
+                         f"(pr={pr}, pc={pc})")
+    th = min(tile_h, pl.cdiv(bh, 8) * 8)
+    tw = min(tile_w, pl.cdiv(bw, 128) * 128)
+    hp = pl.cdiv(bh, th) * th
+    wp = pl.cdiv(bw, tw) * tw
+    goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
+            else global_offset.astype(jnp.int32).reshape(1, 2))
+
+    vpad = jnp.pad(vel, ((0, 0), (pr - halo, pr - halo + hp - bh),
+                         (pc - halo, pc - halo + wp - bw)))
 
     kernel = functools.partial(
         _project_kernel, iters=iters, omega=omega, dx=dx,
-        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w)
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw)
 
     vout, pout = pl.pallas_call(
         kernel,
         grid=(hp // th, wp // tw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=(
             pl.BlockSpec((2, th, tw), lambda r, c: (0, r, c),
                          memory_space=pltpu.VMEM),
@@ -151,5 +197,5 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
             pltpu.VMEM((2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(vpad)
-    return vout[:, :h, :w], pout[:h, :w]
+    )(goff, vpad)
+    return vout[:, :bh, :bw], pout[:bh, :bw]

@@ -38,8 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sor_kernel(d_hbm, out_ref, dwin_vmem, sem,
-                *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w):
+def _sor_kernel(goff_ref, d_hbm, out_ref, dwin_vmem, sem,
+                *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh, bw):
     r = pl.program_id(0)
     c = pl.program_id(1)
     row0 = r * tile_h
@@ -52,12 +52,21 @@ def _sor_kernel(d_hbm, out_ref, dwin_vmem, sem,
     dma.start()
 
     f32 = jnp.float32
-    # global coords of the window (window (0,0) is global (row0-pr, col0-pc))
+    # global coords of the window (window (0,0) is global (row0-pr, col0-pc)
+    # plus the traced block offset — zero on a single chip)
     gi = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
-          + (row0 - pr))
+          + (row0 - pr) + goff_ref[0, 0])
     gj = (jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
-          + (col0 - pc))
+          + (col0 - pc) + goff_ref[0, 1])
     in_dom = ((gi >= 0) & (gi < h) & (gj >= 0) & (gj < w))
+    if (bh, bw) != (h, w):
+        # block mode: window cells past the exchanged halo are zero-padding
+        # beyond the trapezoidal validity horizon — keep them inert
+        li = gi - goff_ref[0, 0]
+        lj = gj - goff_ref[0, 1]
+        hm = 2 * iters
+        in_dom &= ((li >= -hm) & (li < bh + hm)
+                   & (lj >= -hm) & (lj < bw + hm))
     parity_is_even = ((gi + gj) % 2) == 0
 
     # variable Neumann diagonal (poisson.cpp:67-89): -1/a_ii with a_ii the
@@ -98,29 +107,58 @@ def _sor_kernel(d_hbm, out_ref, dwin_vmem, sem,
 
 @functools.partial(jax.jit,
                    static_argnames=("dx", "iters", "omega", "tile_h",
-                                    "tile_w"))
+                                    "tile_w", "global_shape", "halo"))
 def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
                      omega: float = 1.96, tile_h: int = 256,
-                     tile_w: int = 1024) -> jax.Array:
-    """Drop-in replacement for ``ops.poisson.sor_solve`` on large 2D grids."""
-    h, w = d.shape
-    pr = pl.cdiv(2 * iters, 8) * 8
-    pc = pl.cdiv(2 * iters, 128) * 128
-    th = min(tile_h, pl.cdiv(h, 8) * 8)
-    tw = min(tile_w, pl.cdiv(w, 128) * 128)
-    hp = pl.cdiv(h, th) * th
-    wp = pl.cdiv(w, tw) * tw
+                     tile_w: int = 1024,
+                     global_offset: jax.Array | None = None,
+                     global_shape=None, halo: int = 0) -> jax.Array:
+    """Drop-in replacement for ``ops.poisson.sor_solve`` on large 2D grids.
 
-    dpad = jnp.pad(d, ((pr, pr + hp - h), (pc, pc + wp - w)))
+    Block mode (the ``shard_map`` path): when ``global_offset`` — a traced
+    ``(2,)`` int32 array — is given, ``d`` is one shard's local divergence
+    block carrying ``halo >= 2*iters`` exchanged ghost cells per side and
+    ``global_shape`` is the full-domain extent for the BC masks.
+    """
+    need = 2 * iters
+    block_mode = global_offset is not None
+    if block_mode and halo < need:
+        raise ValueError(f"block mode needs halo >= 2*iters ghost cells "
+                         f"({halo} < {need})")
+    if block_mode:
+        bh, bw = d.shape[0] - 2 * halo, d.shape[1] - 2 * halo
+        h, w = global_shape
+    else:
+        bh, bw = d.shape
+        h, w = bh, bw
+        halo = 0
+    pr = pl.cdiv(need, 8) * 8
+    pc = pl.cdiv(need, 128) * 128
+    if halo > min(pr, pc):
+        raise ValueError(f"halo={halo} exceeds the aligned kernel window "
+                         f"(pr={pr}, pc={pc})")
+    th = min(tile_h, pl.cdiv(bh, 8) * 8)
+    tw = min(tile_w, pl.cdiv(bw, 128) * 128)
+    hp = pl.cdiv(bh, th) * th
+    wp = pl.cdiv(bw, tw) * tw
+    goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
+            else global_offset.astype(jnp.int32).reshape(1, 2))
+
+    dpad = jnp.pad(d, ((pr - halo, pr - halo + hp - bh),
+                       (pc - halo, pc - halo + wp - bw)))
 
     kernel = functools.partial(
         _sor_kernel, iters=iters, omega=omega, dx=dx,
-        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w)
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw)
 
     out = pl.pallas_call(
         kernel,
         grid=(hp // th, wp // tw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec((th, tw), lambda r, c: (r, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), d.dtype),
@@ -128,5 +166,5 @@ def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
             pltpu.VMEM((th + 2 * pr, tw + 2 * pc), dpad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(dpad)
-    return out[:h, :w]
+    )(goff, dpad)
+    return out[:bh, :bw]

@@ -85,10 +85,16 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
             f"sharded step supports advector='semilag'/'maccormack', got "
             f"{cfg.advector!r} (silently substituting would change physics "
             f"vs the single-device run)")
-    if cfg.solver not in ("sor", "jacobi", "multigrid"):
+    if cfg.solver not in ("sor", "jacobi", "multigrid", "sor_pallas",
+                          "fused_pallas"):
         raise NotImplementedError(
-            f"sharded step supports solver='sor'/'jacobi'/'multigrid', got "
-            f"{cfg.solver!r}")
+            f"sharded step supports solver='sor'/'jacobi'/'multigrid'/"
+            f"'sor_pallas'/'fused_pallas', got {cfg.solver!r}")
+    # kernel paths: each shard runs the flagship Pallas kernel on its local
+    # block + one exchanged halo (the kernels take a traced global offset
+    # for their boundary-condition masks — see ops/pallas/*.py block mode)
+    use_kernel_advect = (cfg.advect_impl == "pallas"
+                         and cfg.advector == "semilag")
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -103,6 +109,14 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
                      return_minmax=False):
         """Backtrace + gather in a k-halo window; global-coordinate clamps."""
         fpad = _exchange2(field, k, nx, ny)
+        if use_kernel_advect and not return_minmax:
+            # flagship gather kernel on the local block (ops/pallas/advect)
+            from ..ops.pallas.advect import advect_pallas
+            goff = jnp.stack([ox, oy]).astype(jnp.int32)
+            v = vel if sign == 1.0 else -vel
+            return advect_pallas(fpad, v, dt, no_slip, max_disp=max_disp,
+                                 global_offset=goff, global_shape=(H, W),
+                                 halo=k)
         v0 = vel[0].astype(f32)
         v1 = vel[1].astype(f32)
         gi = ii.astype(f32)
@@ -379,6 +393,33 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
                             vel)
         return vel
 
+    def project_local(vel, ii, jj, ox, oy):
+        """Pressure projection, solver-dispatched.  The Pallas solvers run
+        the whole solve shard-locally after ONE wide halo exchange
+        (trapezoidal validity), vs 2*iters exchanges for composed SOR."""
+        goff = jnp.stack([ox, oy]).astype(jnp.int32)
+        if cfg.solver == "fused_pallas":
+            from ..ops.pallas.project import project_fused_pallas
+            g2 = 2 * cfg.sor_iters + 2
+            vpad = _exchange2(vel, g2, nx, ny)
+            vout, _ = project_fused_pallas(
+                vpad, dx, cfg.sor_iters, cfg.omega,
+                global_offset=goff, global_shape=(H, W), halo=g2)
+            return vout
+        div = divergence_local(vel)
+        if cfg.solver == "sor_pallas":
+            from ..ops.pallas.sor import sor_solve_pallas
+            g2 = 2 * cfg.sor_iters
+            dpad = _exchange2(div, g2, nx, ny)
+            p = sor_solve_pallas(dpad, dx, cfg.sor_iters, cfg.omega,
+                                 global_offset=goff, global_shape=(H, W),
+                                 halo=g2)
+        elif cfg.solver == "multigrid":
+            p = mg_local(div, ii, jj)
+        else:
+            p = sor_local(div, ii, jj)
+        return gradient_sub_local(vel, p)
+
     def local_step(state: SimState, imp: Impulses) -> SimState:
         ii, jj, ox, oy = _local_coords(cfg, nx, ny, lh, lw)
         vel = advect_dispatch(state.velocity, state.velocity, ii, jj, ox, oy,
@@ -386,10 +427,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
         vel = impulses_local(vel, imp, ii, jj)
         if cfg.vorticity_eps > 0.0:
             vel = vorticity_local(vel)
-        div = divergence_local(vel)
-        p = (mg_local(div, ii, jj) if cfg.solver == "multigrid"
-             else sor_local(div, ii, jj))
-        vel = gradient_sub_local(vel, p)
+        vel = project_local(vel, ii, jj, ox, oy)
         color = advect_dispatch(state.color, vel, ii, jj, ox, oy,
                                 no_slip=False)
         if cfg.advector != "maccormack":
