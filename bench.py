@@ -94,6 +94,30 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
     return 1.0 / per
 
 
+def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
+    """BASELINE config 4: whole-ensemble steps/sec for n_members vmapped
+    members."""
+    from esp32_fluid_simulation_tpu import SimConfig, Impulses
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        init_ensemble, make_ensemble_step, stack_impulses)
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+
+    cfg = SimConfig(shape=shape, scaling=1)
+    state = init_ensemble(cfg, n_members)
+    fn = make_ensemble_step(cfg, donate=False)
+    imp = stack_impulses([scripted_swirl(cfg, 7 * m)
+                          for m in range(n_members)])
+
+    def one(st):
+        return fn(st, imp)
+
+    one(state)
+    _sync(state)
+    t1 = _time_chain(one, state, 1)
+    tn = _time_chain(one, state, n)
+    return 1.0 / max((tn - t1) / (n - 1), 1e-9)
+
+
 def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
     # production path: the fused single-pass Pallas solve on TPU
     if jax.default_backend() == "tpu" and len(shape) == 2:
@@ -152,10 +176,30 @@ def main():
     results["fps_4096"] = fps_4k
     results["fps_4096_path"] = 1.0 if use_pallas else 0.0  # 1=pallas kernels
 
+    # Headline transparency: the reference renders at 4x upscale; report the
+    # 4x-render variant alongside the s=1 headline (output 16384^2 pixels).
+    if use_pallas and not smoke:
+        results["fps_4096_render4x"] = bench_step_fps(
+            SimConfig(**{**big_kwargs, "scaling": 4}), n=max(3, n_big // 2),
+            render=True, render_s=4)
+
     # Config 2 flavor: 512^2 with vorticity confinement (auto kernel path).
     results["fps_512_vort"] = bench_step_fps(
         SimConfig(shape=(256, 256) if smoke else (512, 512),
                   vorticity_eps=2.0), n=n_big)
+
+    # Config 3: 2048^2 MacCormack advection + multigrid projection.
+    results["fps_2048_mc_mg"] = bench_step_fps(
+        SimConfig(shape=(256, 256) if smoke else (2048, 2048),
+                  advector="maccormack", solver="multigrid", omega=1.3,
+                  color_dtype="bfloat16", scaling=1),
+        n=n_big, render=True, render_s=1)
+
+    # Config 4: vmap-batched ensemble (whole-ensemble steps/sec; member
+    # steps/sec is n_members times this).
+    results["ensemble_steps_per_s"] = bench_ensemble_steps(
+        n_members=8 if smoke else 256,
+        shape=(64, 64) if smoke else (256, 256), n=3 if smoke else 10)
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .rb_common import packed_rb_solve_full
+
 
 def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
                     *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh,
@@ -61,17 +63,10 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
         hm = 2 * iters + 2
         in_dom &= ((li >= -hm) & (li < bh + hm)
                    & (lj >= -hm) & (lj < bw + hm))
-    parity_is_even = ((gi + gj) % 2) == 0
     at_i_lo = gi == 0
     at_i_hi = gi == h - 1
     at_j_lo = gj == 0
     at_j_hi = gj == w - 1
-
-    a = (4 - at_i_lo.astype(jnp.int32) - at_i_hi.astype(jnp.int32)
-         - at_j_lo.astype(jnp.int32) - at_j_hi.astype(jnp.int32))
-    neg_inv = jnp.where(a == 4, f32(np.float32(-0.25)),
-                        jnp.where(a == 3, f32(np.float32(-1.0 / 3.0)),
-                                  f32(np.float32(-0.5))))
 
     dma.wait()
     vx = jnp.where(in_dom, vwin_vmem[0].astype(f32), 0.0)
@@ -103,14 +98,11 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
     div = ((-t_up + t_dn) + (-t_lf + t_rt)) * inv2dx
     dxd = jnp.where(in_dom, f32(dx) * div, 0.0)
 
-    wgt = f32(omega)
-    one_m_w = f32(1.0 - omega)
-    p = jnp.zeros((wh, ww), f32)
-    for half in range(2 * iters):
-        nb = ((up(p) + dn(p)) + lf(p)) + rt(p)
-        p_new = one_m_w * p + wgt * (neg_inv * (dxd - nb))
-        mask = parity_is_even if (half % 2) == 0 else ~parity_is_even
-        p = jnp.where(mask & in_dom, p_new, jnp.where(in_dom, p, 0.0))
+    # all 2*iters half-sweeps on dense packed checkerboard arrays (half the
+    # lanes of the masked full-width loop; bit-identical results)
+    gi0 = (row0 - pr) + goff_ref[0, 0]
+    gj0 = (col0 - pc) + goff_ref[0, 1]
+    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega)
 
     # gradient subtract with Neumann edge clamp (finitediff.cpp:41-73)
     p_im1 = jnp.where(at_i_lo, p, up(p))

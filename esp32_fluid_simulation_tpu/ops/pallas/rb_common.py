@@ -1,0 +1,175 @@
+"""Packed-checkerboard red-black SOR for Mosaic kernels.
+
+The naive in-kernel RB sweep updates one color per half-sweep with a parity
+mask — half the VPU lanes compute values that are thrown away.  Packing the
+checkerboard into two dense half-width arrays (poisson.cpp:10-12's latent
+parallelism, laid out densely) does the same arithmetic on half the lanes:
+
+  E[i, m] = x[i, 2m + a(i)],   O[i, m] = x[i, 2m + 1 - a(i)],
+  a(i) = (gi0 + i + gj0) % 2   (the window row's even-cell column offset),
+
+so E always holds the cells with even global (i+j) (the reference's "red",
+updated first).  Neighbor access stays local in packed space: up/down keep
+the packed column; left/right become a row-parity select between the packed
+column and its ±1 shift (derivation in ``packed_rb_solve_full``).
+Pack/unpack are per-panel hardware lane gathers (``tpu.dynamic_gather``),
+paid once per solve.
+
+Bit-compatibility: per cell the update reads the same operands in the same
+accumulation order ``((up + dn) + lf) + rt`` as the full-width kernels and
+``ops.poisson.sor_sweep``, so results are bit-identical to the unpacked
+kernel.
+
+Mosaic hygiene (v5e compiler crashes found the hard way): no reductions of
+sliced expressions, no (rows, 1)-shaped slices/broadcasts — all per-row
+quantities are built from ``broadcasted_iota`` plus traced scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _row_parity(rows, width, base):
+    """(rows, width) int32: (row index + base) % 2, base a traced scalar."""
+    return (_iota2((rows, width), 0) + base) % 2
+
+
+def deinterleave_parity(x, base):
+    """(E, O) with ``E[i, m] = x[i, 2m + a(i)]``, ``O[i, m] = x[i, 2m+1-a(i)]``
+    where ``a(i) = (i + base) % 2`` (``base``: traced scalar).
+
+    x: (rows, ww) with ww a multiple of 128.  Output width is ``ww//2``
+    rounded up to a 128-lane panel; tail lanes gather nothing and read 0.
+    """
+    rows, ww = x.shape
+    wwh = ww // 2
+    wwp = -(-wwh // LANE) * LANE
+    outs = []
+    for off_sel in (0, 1):   # 0 -> E, 1 -> O
+        panels = []
+        for po in range(wwp // LANE):
+            a = _row_parity(rows, LANE, base)
+            off = a if off_sel == 0 else 1 - a
+            lane = _iota2((rows, LANE), 1)
+            j = 2 * (po * LANE + lane) + off        # full-width column
+            acc = jnp.zeros((rows, LANE), x.dtype)
+            for q in range(2 * po, min(2 * po + 2, ww // LANE)):
+                pan = x[:, q * LANE:(q + 1) * LANE]
+                g = jnp.take_along_axis(pan, jnp.bitwise_and(j, LANE - 1),
+                                        axis=1)
+                acc += jnp.where(jnp.floor_divide(j, LANE) == q, g,
+                                 jnp.zeros_like(g))
+            panels.append(acc)
+        outs.append(jnp.concatenate(panels, axis=1) if len(panels) > 1
+                    else panels[0])
+    return outs[0], outs[1]
+
+
+def interleave_parity(e, o, base, ww):
+    """Inverse of ``deinterleave_parity``: full[i, j] comes from E where
+    ``(i + j + base) % 2 == 0``, else O; both live at packed column j//2."""
+    rows = e.shape[0]
+    panels = []
+    for po in range(ww // LANE):
+        src = po // 2
+        lane = _iota2((rows, LANE), 1)
+        idx = (LANE // 2) * (po % 2) + jnp.floor_divide(lane, 2)
+        ge = jnp.take_along_axis(e[:, src * LANE:(src + 1) * LANE], idx,
+                                 axis=1)
+        go = jnp.take_along_axis(o[:, src * LANE:(src + 1) * LANE], idx,
+                                 axis=1)
+        j_full = po * LANE + lane
+        even = ((_iota2((rows, LANE), 0) + j_full + base) % 2) == 0
+        panels.append(jnp.where(even, ge, go))
+    return jnp.concatenate(panels, axis=1) if len(panels) > 1 else panels[0]
+
+
+def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
+    """Returns full-width pressure after ``2*iters`` half-sweeps.
+
+    Same math/order as the full-width kernels: zero-ghost neighbor sums in
+    ``((up + dn) + lf) + rt`` order, variable Neumann diagonal from global
+    edges (``poisson.cpp:63-90``), SOR blend, cells outside ``in_dom``
+    forced to 0 each half-sweep.
+
+    dxd: (rows, ww) f32, dx*divergence, zeroed outside the domain;
+    gi0/gj0: traced int32 scalars — global coordinates of window (0, 0);
+    in_dom: validity mask (domain bounds, possibly tightened to a block's
+    halo horizon); h/w: global domain extent.
+    """
+    f32 = jnp.float32
+    rows, ww = dxd.shape
+    base = (gi0 + gj0) % 2      # traced scalar: parity of window (0, 0)
+
+    dE, dO = deinterleave_parity(dxd, base)
+    in_domE, in_domO = deinterleave_parity(in_dom.astype(jnp.int32), base)
+    in_domE = in_domE > 0
+    in_domO = in_domO > 0
+    wwp = dE.shape[1]
+
+    # packed global coordinates and the Neumann diagonal per parity array
+    lane = _iota2((rows, wwp), 1)
+    a_b = _row_parity(rows, wwp, base)
+    giP = _iota2((rows, wwp), 0) + gi0
+    gjE = gj0 + 2 * lane + a_b
+    gjO = gj0 + 2 * lane + 1 - a_b
+
+    def consts(gjP):
+        aii = (4
+               - (giP == 0).astype(jnp.int32)
+               - (giP == h - 1).astype(jnp.int32)
+               - (gjP == 0).astype(jnp.int32)
+               - (gjP == w - 1).astype(jnp.int32))
+        return jnp.where(
+            aii == 4, f32(np.float32(-0.25)),
+            jnp.where(aii == 3, f32(np.float32(-1.0 / 3.0)),
+                      f32(np.float32(-0.5))))
+
+    neg_invE = consts(gjE)
+    neg_invO = consts(gjO)
+
+    wgt = f32(omega)
+    one_m_w = f32(1.0 - omega)
+    zrow = jnp.zeros((1, wwp), f32)
+    zcol = jnp.zeros((rows, 1), f32)
+    a0 = a_b == 0
+
+    def rsh(x):
+        return jnp.concatenate([zcol, x[:, :-1]], axis=1)   # value at m-1
+
+    def lsh(x):
+        return jnp.concatenate([x[:, 1:], zcol], axis=1)    # value at m+1
+
+    def vsh(x):
+        up = jnp.concatenate([zrow, x[:-1, :]], axis=0)
+        dn = jnp.concatenate([x[1:, :], zrow], axis=0)
+        return up, dn
+
+    pE = jnp.zeros((rows, wwp), f32)
+    pO = jnp.zeros((rows, wwp), f32)
+    for half in range(2 * iters):
+        if half % 2 == 0:   # update even (the reference's red)
+            up, dn = vsh(pO)
+            lf = jnp.where(a0, rsh(pO), pO)
+            rt = jnp.where(a0, pO, lsh(pO))
+            nb = ((up + dn) + lf) + rt
+            p_new = one_m_w * pE + wgt * (neg_invE * (dE - nb))
+            pE = jnp.where(in_domE, p_new, 0.0)
+        else:
+            up, dn = vsh(pE)
+            lf = jnp.where(a0, pE, rsh(pE))
+            rt = jnp.where(a0, lsh(pE), pE)
+            nb = ((up + dn) + lf) + rt
+            p_new = one_m_w * pO + wgt * (neg_invO * (dO - nb))
+            pO = jnp.where(in_domO, p_new, 0.0)
+
+    return interleave_parity(pE, pO, base, ww)

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .rb_common import packed_rb_solve_full
+
 
 def _sor_kernel(goff_ref, d_hbm, out_ref, dwin_vmem, sem,
                 *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh, bw):
@@ -67,40 +69,16 @@ def _sor_kernel(goff_ref, d_hbm, out_ref, dwin_vmem, sem,
         hm = 2 * iters
         in_dom &= ((li >= -hm) & (li < bh + hm)
                    & (lj >= -hm) & (lj < bw + hm))
-    parity_is_even = ((gi + gj) % 2) == 0
-
-    # variable Neumann diagonal (poisson.cpp:67-89): -1/a_ii with a_ii the
-    # number of in-bounds neighbors; LUT entries as f32 of double divisions
-    a = (4
-         - (gi == 0).astype(jnp.int32) - (gi == h - 1).astype(jnp.int32)
-         - (gj == 0).astype(jnp.int32) - (gj == w - 1).astype(jnp.int32))
-    neg_half = f32(np.float32(-1.0 / 2.0))
-    neg_third = f32(np.float32(-1.0 / 3.0))
-    neg_quart = f32(np.float32(-1.0 / 4.0))
-    neg_inv = jnp.where(a == 4, neg_quart,
-                        jnp.where(a == 3, neg_third, neg_half))
-
     dma.wait()
     dxd = dwin_vmem[:].astype(f32) * f32(dx)
     dxd = jnp.where(in_dom, dxd, 0.0)
 
-    wgt = f32(omega)
-    one_m_w = f32(1.0 - omega)
-    zeros_row = jnp.zeros((1, ww), f32)
-    zeros_col = jnp.zeros((wh, 1), f32)
-
-    p = jnp.zeros((wh, ww), f32)
-    for half in range(2 * iters):
-        color_is_even = (half % 2) == 0
-        # zero-ghost neighbor sum in the reference's accumulation order
-        up = jnp.concatenate([zeros_row, p[:-1, :]], axis=0)
-        dn = jnp.concatenate([p[1:, :], zeros_row], axis=0)
-        lf = jnp.concatenate([zeros_col, p[:, :-1]], axis=1)
-        rt = jnp.concatenate([p[:, 1:], zeros_col], axis=1)
-        nb = ((up + dn) + lf) + rt
-        p_new = one_m_w * p + wgt * (neg_inv * (dxd - nb))
-        mask = parity_is_even if color_is_even else ~parity_is_even
-        p = jnp.where(mask & in_dom, p_new, jnp.where(in_dom, p, 0.0))
+    # all 2*iters half-sweeps on dense packed checkerboard arrays (half the
+    # lanes of the masked full-width loop; bit-identical results); the
+    # variable Neumann diagonal (poisson.cpp:67-89) is built inside
+    gi0 = (row0 - pr) + goff_ref[0, 0]
+    gj0 = (col0 - pc) + goff_ref[0, 1]
+    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega)
 
     out_ref[:, :] = p[pr:pr + tile_h, pc:pc + tile_w].astype(out_ref.dtype)
 

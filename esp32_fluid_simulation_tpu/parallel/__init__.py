@@ -1,11 +1,13 @@
 from .topology import make_mesh, grid_axes
 from .halo import exchange_halo
-from .sharded import make_sharded_step, sharded_state_sharding
+from .sharded import (make_sharded_step, make_sharded_step_with_metrics,
+                      sharded_state_sharding)
 
 __all__ = [
     "make_mesh",
     "grid_axes",
     "exchange_halo",
     "make_sharded_step",
+    "make_sharded_step_with_metrics",
     "sharded_state_sharding",
 ]

@@ -69,22 +69,25 @@ def _exchange2(x, width, nx, ny, bcs=("zero", "zero")):
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
-                      donate: bool = True, sor_halo: int = 1):
+                      donate: bool = True, sor_halo: int = 1,
+                      with_metrics: bool = False):
     """Build a jitted sharded ``step(state, impulses) -> state``.
 
     ``max_disp``: advection CFL clamp in cells — sets the halo width, so it
     bounds ICI traffic as well as the backtrace (see ops/pallas/advect.py).
     ``sor_halo``: pressure-halo depth; k trades k-ring redundant compute for
     ~k-fold fewer SOR collectives (see ``sor_local``).
+    ``with_metrics``: return ``(state, metrics)`` with mesh-reduced
+    observability scalars (see ``make_sharded_step_with_metrics``).
     """
     halo_k = sor_halo
     if cfg.ndim != 2:
         raise NotImplementedError("sharded step is 2D for now")
-    if cfg.advector not in ("semilag", "maccormack"):
+    if cfg.advector not in ("semilag", "maccormack", "rk2"):
         raise NotImplementedError(
-            f"sharded step supports advector='semilag'/'maccormack', got "
-            f"{cfg.advector!r} (silently substituting would change physics "
-            f"vs the single-device run)")
+            f"sharded step supports advector='semilag'/'maccormack'/'rk2', "
+            f"got {cfg.advector!r} (silently substituting would change "
+            f"physics vs the single-device run)")
     if cfg.solver not in ("sor", "jacobi", "multigrid", "sor_pallas",
                           "fused_pallas"):
         raise NotImplementedError(
@@ -140,7 +143,38 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
                          * noslip_axis_factor(sj_raw, W)).astype(out.dtype)
         return (out, *extra) if return_minmax else out
 
+    def rk2_local(field, vel, ii, jj, ox, oy, no_slip):
+        """Midpoint backtrace (ops.advect.advect_rk2, shard-local): sample
+        the velocity at x - dt/2·v(x) from a k-halo window, then trace the
+        full step through it.  Both stages CFL-clamp to the halo."""
+        gi = ii.astype(f32)
+        gj = jj.astype(f32)
+        v0 = vel[0].astype(f32)
+        v1 = vel[1].astype(f32)
+        vpad = _exchange2(vel, k, nx, ny)
+
+        def window_coords(ci_raw, cj_raw):
+            ci = jnp.clip(jnp.clip(ci_raw, gi - max_disp, gi + max_disp),
+                          0.0, f32(H - 1))
+            cj = jnp.clip(jnp.clip(cj_raw, gj - max_disp, gj + max_disp),
+                          0.0, f32(W - 1))
+            return (ci - ox.astype(f32) + f32(k),
+                    cj - oy.astype(f32) + f32(k))
+
+        v_mid = sample_linear(
+            vpad, window_coords(gi - 0.5 * dt * v0, gj - 0.5 * dt * v1))
+        si_raw = gi - v_mid[0].astype(f32) * f32(dt)
+        sj_raw = gj - v_mid[1].astype(f32) * f32(dt)
+        fpad = _exchange2(field, k, nx, ny)
+        out = sample_linear(fpad, window_coords(si_raw, sj_raw))
+        if no_slip:
+            out = out * (noslip_axis_factor(si_raw, H)
+                         * noslip_axis_factor(sj_raw, W)).astype(out.dtype)
+        return out
+
     def advect_dispatch(field, vel, ii, jj, ox, oy, no_slip):
+        if cfg.advector == "rk2":
+            return rk2_local(field, vel, ii, jj, ox, oy, no_slip)
         if cfg.advector != "maccormack":
             return advect_local(field, vel, ii, jj, ox, oy, no_slip)
         # MacCormack (ops.advect.advect_maccormack, shard-local): forward
@@ -393,58 +427,122 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
                             vel)
         return vel
 
-    def project_local(vel, ii, jj, ox, oy):
-        """Pressure projection, solver-dispatched.  The Pallas solvers run
-        the whole solve shard-locally after ONE wide halo exchange
-        (trapezoidal validity), vs 2*iters exchanges for composed SOR."""
+    def solve_local(div, ii, jj, goff):
+        """Pressure solve, solver-dispatched.  The Pallas solver runs the
+        whole solve shard-locally after ONE wide halo exchange (trapezoidal
+        validity), vs 2*iters exchanges for composed SOR."""
+        if cfg.solver == "sor_pallas":
+            from ..ops.pallas.sor import sor_solve_pallas
+            g2 = 2 * cfg.sor_iters
+            dpad = _exchange2(div, g2, nx, ny)
+            return sor_solve_pallas(dpad, dx, cfg.sor_iters, cfg.omega,
+                                    global_offset=goff, global_shape=(H, W),
+                                    halo=g2)
+        if cfg.solver == "multigrid":
+            return mg_local(div, ii, jj)
+        return sor_local(div, ii, jj)
+
+    def project_local(vel, ii, jj, ox, oy, want_p=False):
+        """Pressure projection; returns (vel, p or None)."""
         goff = jnp.stack([ox, oy]).astype(jnp.int32)
         if cfg.solver == "fused_pallas":
             from ..ops.pallas.project import project_fused_pallas
             g2 = 2 * cfg.sor_iters + 2
             vpad = _exchange2(vel, g2, nx, ny)
-            vout, _ = project_fused_pallas(
+            vout, p = project_fused_pallas(
                 vpad, dx, cfg.sor_iters, cfg.omega,
                 global_offset=goff, global_shape=(H, W), halo=g2)
-            return vout
+            return vout, (p if want_p else None)
         div = divergence_local(vel)
-        if cfg.solver == "sor_pallas":
-            from ..ops.pallas.sor import sor_solve_pallas
-            g2 = 2 * cfg.sor_iters
-            dpad = _exchange2(div, g2, nx, ny)
-            p = sor_solve_pallas(dpad, dx, cfg.sor_iters, cfg.omega,
-                                 global_offset=goff, global_shape=(H, W),
-                                 halo=g2)
-        elif cfg.solver == "multigrid":
-            p = mg_local(div, ii, jj)
-        else:
-            p = sor_local(div, ii, jj)
-        return gradient_sub_local(vel, p)
+        p = solve_local(div, ii, jj, goff)
+        return gradient_sub_local(vel, p), (p if want_p else None)
 
-    def local_step(state: SimState, imp: Impulses) -> SimState:
+    def gmax(x):
+        return lax.pmax(lax.pmax(jnp.max(x), X_AXIS), Y_AXIS)
+
+    def gsum(x):
+        return lax.psum(lax.psum(jnp.sum(x), X_AXIS), Y_AXIS)
+
+    def residual_local(p, div, ii, jj):
+        """ops.poisson.poisson_residual with exchanged zero-ghost halos and
+        the global-edge Neumann diagonal."""
+        pp = _exchange2(p, 1, nx, ny)
+        nb = (pp[:-2, 1:-1] + pp[2:, 1:-1]) + pp[1:-1, :-2] + pp[1:-1, 2:]
+        a = (4 - (ii == 0).astype(jnp.int32) - (ii == H - 1).astype(jnp.int32)
+             - (jj == 0).astype(jnp.int32)
+             - (jj == W - 1).astype(jnp.int32)).astype(p.dtype)
+        return nb - a * p - jnp.asarray(dx, p.dtype) * div
+
+    def local_step_core(state: SimState, imp: Impulses, want_metrics: bool):
         ii, jj, ox, oy = _local_coords(cfg, nx, ny, lh, lw)
         vel = advect_dispatch(state.velocity, state.velocity, ii, jj, ox, oy,
                               no_slip=True)
         vel = impulses_local(vel, imp, ii, jj)
         if cfg.vorticity_eps > 0.0:
             vel = vorticity_local(vel)
-        vel = project_local(vel, ii, jj, ox, oy)
+        div_pre = divergence_local(vel) if want_metrics else None
+        vel, p = project_local(vel, ii, jj, ox, oy, want_p=want_metrics)
         color = advect_dispatch(state.color, vel, ii, jj, ox, oy,
                                 no_slip=False)
         if cfg.advector != "maccormack":
             color = jnp.clip(color, 0.0, 1.0)
-        return SimState(velocity=vel, color=color, step=state.step + 1)
+        new_state = SimState(velocity=vel, color=color, step=state.step + 1)
+        if not want_metrics:
+            return new_state
+        # SURVEY §5 metrics, distributed: local reductions + psum/pmax over
+        # the mesh (every shard returns the identical replicated scalars)
+        div_post = divergence_local(vel)
+        res = residual_local(p, div_pre, ii, jj)
+        n_cells = float(H * W)
+        metrics = {
+            "div_pre_max": gmax(jnp.abs(div_pre)),
+            "div_post_max": gmax(jnp.abs(div_post)),
+            "poisson_residual_l2": jnp.sqrt(gsum(res * res) / n_cells),
+            "max_speed": jnp.sqrt(gmax(jnp.sum(vel * vel, axis=0))),
+            "finite": (gsum((~jnp.isfinite(vel)).sum().astype(jnp.int32)
+                            + (~jnp.isfinite(color)).sum().astype(jnp.int32))
+                       == 0),
+        }
+        return new_state, metrics
+
+    def local_step(state, imp):
+        return local_step_core(state, imp, False)
+
+    def local_step_metrics(state, imp):
+        return local_step_core(state, imp, True)
 
     grid_spec = P(None, X_AXIS, Y_AXIS)
     state_spec = SimState(velocity=grid_spec, color=grid_spec, step=P())
     imp_spec = Impulses(pos=P(), velocity=P(), active=P())
 
-    fn = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(state_spec, imp_spec),
-        out_specs=state_spec,
-        check_vma=False,
-    )
+    if with_metrics:
+        metric_specs = {k: P() for k in
+                        ("div_pre_max", "div_post_max", "poisson_residual_l2",
+                         "max_speed", "finite")}
+        fn = shard_map(
+            local_step_metrics, mesh=mesh,
+            in_specs=(state_spec, imp_spec),
+            out_specs=(state_spec, metric_specs),
+            check_vma=False,
+        )
+    else:
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_spec, imp_spec),
+            out_specs=state_spec,
+            check_vma=False,
+        )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_step_with_metrics(cfg: SimConfig, mesh: Mesh,
+                                   max_disp: int = 12, donate: bool = True,
+                                   sor_halo: int = 1):
+    """Sharded ``step_with_metrics``: the sharded step plus the SURVEY §5
+    observability scalars, reduced across the mesh with ``psum``/``pmax``
+    (VERDICT r1 missing #4: metrics previously existed single-device only)."""
+    return make_sharded_step(cfg, mesh, max_disp=max_disp, donate=donate,
+                             sor_halo=sor_halo, with_metrics=True)
 
 
 def make_sharded_render(cfg: SimConfig, mesh: Mesh):

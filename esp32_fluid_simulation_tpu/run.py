@@ -50,7 +50,35 @@ def build_parser():
     ap.add_argument("--watchdog", action="store_true",
                     help="auto-reset on NaN/Inf divergence")
     ap.add_argument("--save-config", help="write resolved config JSON")
+    ap.add_argument("--ensemble", type=int, default=0,
+                    help="vmap-batched ensemble of N members (BASELINE "
+                         "config 4); members diverge via per-member impulse "
+                         "phases; --frame renders member 0")
     return ap
+
+
+def run_ensemble(args, cfg):
+    """BASELINE config 4: N independent sims in one vmapped XLA program."""
+    from .models.ensemble import (init_ensemble, make_ensemble_step,
+                                  stack_impulses)
+    n = args.ensemble
+    state = init_ensemble(cfg, n)
+    step_fn = make_ensemble_step(cfg, donate=False)
+    for t in range(args.steps):
+        imps = [scripted_swirl(cfg, t + 7 * m, speed=args.impulse_speed)
+                if args.impulses == "swirl" else Impulses.none(cfg)
+                for m in range(n)]
+        state = step_fn(state, stack_impulses(imps))
+    jax.block_until_ready(state.velocity)
+    if args.frame:
+        img = np.moveaxis(np.asarray(render_rgb8(state.color[0],
+                                                 s=cfg.scaling)), 0, -1)
+        h, w, _ = img.shape
+        with open(args.frame, "wb") as f:
+            f.write(f"P6\n{w} {h}\n255\n".encode())
+            f.write(img.tobytes())
+    print(json.dumps({"steps_done": args.steps, "ensemble": n,
+                      "final_step": int(state.step[0])}))
 
 
 def main(argv=None):
@@ -84,6 +112,12 @@ def main(argv=None):
     if args.watchdog and args.metrics:
         raise SystemExit("--watchdog and --metrics are mutually exclusive "
                          "(the guarded step does not produce metrics)")
+    if args.ensemble > 1:
+        if args.resume or args.watchdog or args.metrics or args.dump_fields \
+                or args.checkpoint_every:
+            raise SystemExit("--ensemble runs the batched step only (no "
+                             "resume/watchdog/metrics/dumps)")
+        return run_ensemble(args, cfg)
     if args.save_config:
         with open(args.save_config, "w") as f:
             f.write(cfg.to_json())

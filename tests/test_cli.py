@@ -89,3 +89,20 @@ def test_cli_conflicting_flags_rejected(tmp_path):
     with pytest.raises(SystemExit):
         run_main(["--grid", "17", "25", "--steps", "1", "--watchdog",
                   "--metrics", str(tmp_path / "m.jsonl")])
+
+
+def test_cli_ensemble(tmp_path, capsys):
+    """BASELINE config 4 through the CLI: a vmapped ensemble run."""
+    frame = str(tmp_path / "member0.ppm")
+    run_main(["--grid", "17", "25", "--steps", "3", "--ensemble", "4",
+              "--frame", frame])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_step"] == 3 and out["ensemble"] == 4
+    assert os.path.getsize(frame) > 100
+
+
+def test_cli_ensemble_rejects_incompatible_flags(tmp_path):
+    import pytest
+    with pytest.raises(SystemExit):
+        run_main(["--grid", "17", "25", "--steps", "1", "--ensemble", "4",
+                  "--watchdog"])

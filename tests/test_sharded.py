@@ -149,7 +149,58 @@ def test_sharded_vorticity_matches_single_device():
 def test_sharded_rejects_unsupported_configs():
     mesh = _mesh_2x4()
     with pytest.raises(NotImplementedError):
-        make_sharded_step(SimConfig(shape=(64, 96), advector="rk2"), mesh)
+        make_sharded_step(SimConfig(shape=(16, 16, 16)), mesh)
+
+
+def test_sharded_rk2_matches_single_device():
+    # Tolerance note: rk2's second backtrace goes through a *sampled*
+    # velocity, so a 1-ulp difference from the shard-window coordinate
+    # rebasing (si - ox + k) can flip a floor() cell boundary and move one
+    # bilinear stencil by a cell — observed as 1/12288 elements at ~2e-4.
+    # That is decomposition-inherent, not a halo bug; bound it loosely.
+    cfgr = SimConfig(shape=(64, 96), advector="rk2", sor_iters=4)
+    mesh = _mesh_2x4()
+    imp = Impulses.from_lists(cfgr, [(32, 48)], [(150.0, -90.0)])
+    st = init_state(cfgr)
+    fn1 = make_step(cfgr, donate=False)
+    for t in range(3):
+        st = fn1(st, imp if t == 0 else Impulses.none(cfgr))
+    st_sh = jax.device_put(init_state(cfgr),
+                           sharded_state_sharding(cfgr, mesh))
+    fns = make_sharded_step(cfgr, mesh, donate=False)
+    for t in range(3):
+        st_sh = fns(st_sh, imp if t == 0 else Impulses.none(cfgr))
+    np.testing.assert_allclose(np.asarray(st_sh.velocity),
+                               np.asarray(st.velocity),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st_sh.color),
+                               np.asarray(st.color),
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_sharded_step_with_metrics_matches_single_device():
+    """psum/pmax-reduced observability scalars (SURVEY §5) == the
+    single-device step_with_metrics values."""
+    from esp32_fluid_simulation_tpu.models.stable_fluids import (
+        make_step_with_metrics)
+    from esp32_fluid_simulation_tpu.parallel import (
+        make_sharded_step_with_metrics)
+    cfgm = SimConfig(shape=(64, 96), sor_iters=4)
+    mesh = _mesh_2x4()
+    imp = Impulses.from_lists(cfgm, [(32, 48)], [(120.0, -60.0)])
+    st = init_state(cfgm)
+    _, want = make_step_with_metrics(cfgm, donate=False)(st, imp)
+
+    st_sh = jax.device_put(init_state(cfgm),
+                           sharded_state_sharding(cfgm, mesh))
+    out, got = make_sharded_step_with_metrics(cfgm, mesh, donate=False)(
+        st_sh, imp)
+
+    assert bool(got["finite"]) and bool(want["finite"])
+    for key in ("div_pre_max", "div_post_max", "poisson_residual_l2",
+                "max_speed"):
+        np.testing.assert_allclose(float(got[key]), float(want[key]),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def _interpret_pallas(monkeypatch):
