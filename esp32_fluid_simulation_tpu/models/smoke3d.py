@@ -38,6 +38,8 @@ class SmokeConfig:
     solver: str = "multigrid"      # multigrid | sor
     sor_iters: int = 10
     omega: float = 1.5
+    advect_impl: str = "auto"      # auto | jnp | pallas (3D gather kernel)
+    advect_max_disp: int = 4       # CFL clamp (cells/step) for the kernel
     mg_cycles: int = 1
     buoyancy_alpha: float = 8.0    # thermal lift
     buoyancy_beta: float = 2.0     # smoke weight
@@ -83,14 +85,35 @@ def init_smoke(cfg: SmokeConfig) -> SmokeState:
     )
 
 
+def _use_pallas_advect3d(cfg: SmokeConfig) -> bool:
+    if cfg.advect_impl == "pallas":
+        return True
+    if cfg.advect_impl == "jnp":
+        return False
+    # auto: the Pallas 3D gather kernel wins on TPU from ~64^3 up (XLA's
+    # gather runs at ~1e8 pts/s; the kernel's CFL-banded panel gathers at
+    # effective memory bandwidth)
+    d, h, w = cfg.shape
+    return d * h * w >= 64 ** 3 and jax.default_backend() == "tpu"
+
+
 def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
     dt = cfg.dt
     vel, rho, temp = state.velocity, state.density, state.temperature
 
     # 1. advect everything through the current flow
-    vel = advect(vel, vel, dt, no_slip=True)
-    rho = advect(rho, vel, dt, no_slip=False)
-    temp = advect(temp, vel, dt, no_slip=False)
+    if _use_pallas_advect3d(cfg):
+        from ..ops.pallas.advect3d import advect3d_pallas
+        md = cfg.advect_max_disp
+        vel = advect3d_pallas(vel, vel, dt, no_slip=True, max_disp=md)
+        # rho+temp share one backtrace (same velocity): one 2-channel call
+        scal = advect3d_pallas(jnp.stack([rho, temp]), vel, dt,
+                               no_slip=False, max_disp=md)
+        rho, temp = scal[0], scal[1]
+    else:
+        vel = advect(vel, vel, dt, no_slip=True)
+        rho = advect(rho, vel, dt, no_slip=False)
+        temp = advect(temp, vel, dt, no_slip=False)
 
     # 2. inject the plume source
     src = jnp.asarray(_source_mask(cfg), cfg.jdtype)

@@ -88,7 +88,7 @@ def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
 
 
 def _use_pallas_advect(cfg: SimConfig) -> bool:
-    if cfg.advector != "semilag" or cfg.ndim != 2:
+    if cfg.advector not in ("semilag", "maccormack") or cfg.ndim != 2:
         return False
     if cfg.advect_impl == "pallas":
         return True
@@ -102,13 +102,22 @@ def _use_pallas_advect(cfg: SimConfig) -> bool:
 
 
 def _advect_by(cfg: SimConfig):
+    use_kernel = _use_pallas_advect(cfg)
+    bf16 = cfg.advect_sample_dtype == "bfloat16"
     if cfg.advector == "maccormack":
+        if use_kernel:
+            from ..ops.pallas.advect import advect_maccormack_pallas
+
+            def adv_mc(field, vel, dt, no_slip):
+                return advect_maccormack_pallas(
+                    field, vel, dt, no_slip, max_disp=cfg.advect_max_disp,
+                    sample_bf16=bf16)
+            return adv_mc
         return advect_maccormack
     if cfg.advector == "rk2":
         return advect_rk2
-    if _use_pallas_advect(cfg):
+    if use_kernel:
         from ..ops.pallas.advect import advect_pallas
-        bf16 = cfg.advect_sample_dtype == "bfloat16"
 
         def adv(field, vel, dt, no_slip):
             return advect_pallas(field, vel, dt, no_slip,

@@ -131,9 +131,9 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
     return rel_i, (1.0 - di, di), j0, dj, row_valid, ns_factor
 
 
-def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
-                         acc_vmem, sem, *, dt, max_disp, tile_h, tile_w, pr,
-                         h, w, bh, no_slip, pack):
+def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
+                         tile_h, tile_w, pr, h, w, bh, no_slip, pack,
+                         ret_minmax):
     """One (row-tile, col-tile) program; all channels.  See module doc,
     variant "panel".
 
@@ -143,7 +143,16 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
     partial slices crash the Mosaic lowering on v5e.
     ``acc_vmem`` is (c*tile_h, tile_w): channel c's accumulator lives at
     rows [c*tile_h, (c+1)*tile_h) so every store is a 2D aligned slice.
+
+    ``ret_minmax`` additionally tracks the min/max of the bilinear stencil
+    corner values per output cell (MacCormack's monotonic clamp bounds,
+    matching ``ops.advect.sample_linear(return_minmax=True)``).
     """
+    if ret_minmax:
+        (out_ref, mn_ref, mx_ref, src_vmem, acc_vmem, mn_vmem, mx_vmem,
+         sem) = rest
+    else:
+        out_ref, src_vmem, acc_vmem, sem = rest
     n_ch = src_vmem.shape[0]
     ww = tile_w + 2 * _PANEL_LH        # window width (lane-dim)
     r = pl.program_id(0)
@@ -194,6 +203,10 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
         wins.append(x)
 
     acc_vmem[...] = jnp.zeros(acc_vmem.shape, f32)
+    if ret_minmax:
+        big = f32(3.4e38)
+        mn_vmem[...] = jnp.full(mn_vmem.shape, big, f32)
+        mx_vmem[...] = jnp.full(mx_vmem.shape, -big, f32)
 
     # Materialized full-width masked shifts: reducing a lane-slice of a
     # where()-of-slices expression crashes the Mosaic compiler on v5e
@@ -231,9 +244,13 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                 # rows with i0+1-row == s (weight di)
                 contrib = (jnp.where(rel_p == s, w0_p, 0.0)
                            + jnp.where(rel_p == s - 1, w1_p, 0.0))
+                if ret_minmax:
+                    sel = jnp.logical_or(rel_p == s, rel_p == s - 1)
                 for ch in range(n_ch):
+                    chsl = slice(ch * tile_h, (ch + 1) * tile_h)
                     rows_s = wins[ch][pr + s:pr + s + tile_h, :]
-                    colv = jnp.zeros((tile_h, LANE), f32)
+                    rv0 = jnp.zeros((tile_h, LANE), f32)
+                    rv1 = jnp.zeros((tile_h, LANE), f32)
                     for qi, q in enumerate((po, po + 1)):
                         pan = rows_s[:, q * LANE:(q + 1) * LANE]
                         if pack:
@@ -241,21 +258,37 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                             gu = _bitcast_u32(g)
                             v0 = _bitcast_f32(gu & jnp.uint32(0xFFFF0000))
                             v1 = _bitcast_f32(gu << 16)
-                            cv = v0 * one_m_dj + v1 * dj_p
-                            colv += jnp.where(e_q[qi], cv, 0.0)
+                            rv0 += jnp.where(e_q[qi], v0, 0.0)
+                            rv1 += jnp.where(e_q[qi], v1, 0.0)
                         else:
                             g0 = jnp.take_along_axis(pan, mod_p, axis=1)
                             g1 = jnp.take_along_axis(pan, mod1_p, axis=1)
-                            colv += (jnp.where(e_q[qi], g0, 0.0) * one_m_dj
-                                     + jnp.where(e1_q[qi], g1, 0.0) * dj_p)
-                    acc_vmem[ch * tile_h:(ch + 1) * tile_h, sl] += (
-                        colv * contrib)
+                            rv0 += jnp.where(e_q[qi], g0, 0.0)
+                            rv1 += jnp.where(e1_q[qi], g1, 0.0)
+                    colv = rv0 * one_m_dj + rv1 * dj_p
+                    acc_vmem[chsl, sl] += colv * contrib
+                    if ret_minmax:
+                        # MacCormack clamp bounds: extrema of the raw
+                        # bilinear corner values at the backtraced point
+                        lo = jnp.minimum(rv0, rv1)
+                        hi = jnp.maximum(rv0, rv1)
+                        cur_mn = mn_vmem[chsl, sl]
+                        mn_vmem[chsl, sl] = jnp.where(
+                            sel, jnp.minimum(cur_mn, lo), cur_mn)
+                        cur_mx = mx_vmem[chsl, sl]
+                        mx_vmem[chsl, sl] = jnp.where(
+                            sel, jnp.maximum(cur_mx, hi), cur_mx)
 
     for ch in range(n_ch):
         a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
         if no_slip:
             a = a * ns_factor
         out_ref[ch, :, :] = a.astype(out_ref.dtype)
+        if ret_minmax:
+            mn_ref[ch, :, :] = mn_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                       :].astype(mn_ref.dtype)
+            mx_ref[ch, :, :] = mx_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                       :].astype(mx_ref.dtype)
 
 
 def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
@@ -338,13 +371,14 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
-                     "sample_bf16"))
+                     "sample_bf16", "return_minmax"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 32, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "panel",
                   global_offset: jax.Array | None = None,
                   global_shape: Tuple[int, int] | None = None,
-                  halo: int = 0, sample_bf16: bool = False):
+                  halo: int = 0, sample_bf16: bool = False,
+                  return_minmax: bool = False):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -378,6 +412,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
     if block_mode and variant != "panel":
         raise ValueError("block mode (global_offset) requires the panel "
                          "variant (max_disp <= 62)")
+    if return_minmax and variant != "panel":
+        raise ValueError("return_minmax requires the panel variant")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -421,8 +457,12 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
         kernel = functools.partial(
             _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
-            tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack)
+            tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
+            ret_minmax=return_minmax)
 
+        grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
+                                  memory_space=pltpu.VMEM)
+        sds = jax.ShapeDtypeStruct((c, hp, wp), field.dtype)
         out = pl.pallas_call(
             kernel,
             grid=(hp // th, wp // tw),
@@ -433,15 +473,22 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
             ],
-            out_specs=pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c, hp, wp), field.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype),
-                pltpu.VMEM((c * th, tw), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            out_specs=((grid_block,) * 3 if return_minmax else grid_block),
+            out_shape=((sds,) * 3 if return_minmax else sds),
+            scratch_shapes=(
+                [pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype),
+                 pltpu.VMEM((c * th, tw), jnp.float32)]
+                + ([pltpu.VMEM((c * th, tw), jnp.float32)] * 2
+                   if return_minmax else [])
+                + [pltpu.SemaphoreType.DMA]
+            ),
         )(goff, vpad, fpad)
+        if return_minmax:
+            out, mn, mx = out
+            crop = (slice(None), slice(0, bh), slice(0, bw))
+            if squeeze:
+                return out[crop][0], mn[crop][0], mx[crop][0]
+            return out[crop], mn[crop], mx[crop]
     else:
         pc = pl.cdiv(max_disp + 1, 128) * 128   # aligned lane halo
         fpad = jnp.pad(field, ((0, 0), (pr, pr + hp - h), (pc, pc + wp - w)))
@@ -473,3 +520,22 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
     out = out[:, :bh, :bw]
     return out[0] if squeeze else out
+
+
+def advect_maccormack_pallas(field: jax.Array, vel: jax.Array, dt: float,
+                             no_slip: bool, max_disp: int = 12, **kw):
+    """MacCormack advection (ops.advect.advect_maccormack) with kernel-backed
+    gathers: forward predictor with in-kernel stencil extrema, backward
+    corrector (= forward advection through ``-vel``), monotonic clamp.
+    Displacements are CFL-clamped to ``max_disp`` like the semilag kernel."""
+    phi_hat, cmin, cmax = advect_pallas(field, vel, dt, no_slip,
+                                        max_disp=max_disp,
+                                        return_minmax=True, **kw)
+    phi_back = advect_pallas(phi_hat, -vel, dt, no_slip, max_disp=max_disp,
+                             **kw)
+    corrected = phi_hat + 0.5 * (field - phi_back)
+    # bounds include the (possibly no-slip-discounted) predictor — see
+    # ops.advect.advect_maccormack
+    cmin = jnp.minimum(cmin, phi_hat)
+    cmax = jnp.maximum(cmax, phi_hat)
+    return jnp.clip(corrected, cmin, cmax)

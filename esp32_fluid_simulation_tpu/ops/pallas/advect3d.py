@@ -1,0 +1,274 @@
+"""Pallas TPU kernel for 3D semi-Lagrangian advection (the 256^3 smoke's
+hot op; BASELINE config 5).
+
+XLA's TPU gather runs at ~1e8 points/s, so advecting five 256^3 fields
+(velocity x3 + density + temperature) through it costs ~0.8 s/step.  This
+kernel extends the 2D panel kernel (ops/pallas/advect.py) by one axis:
+
+* each program owns ``tile_d`` output planes x a row tile; it DMAs the
+  (planes + z-halo, rows + row-halo, cols + lane-halo) window into VMEM;
+* the trilinear sample decomposes into a *tile-gated* loop over integer
+  z-shifts (vertical velocity is smooth, so a tile spans few z-shifts) and,
+  inside, the 2D kernel's per-panel-gated row-shift loop with 2-panel
+  hardware column gathers;
+* boundary semantics match ``ops.advect.sample_linear``: clamped-coordinate
+  trilinear == edge collapse, no-slip discount from unclamped coords.
+
+Displacements beyond ``max_disp`` cells are clamped per axis (CFL clamp),
+like the 2D kernel.  bfloat16 fields use the packed-pair single-gather
+trick (bit-exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_LH = 64            # lane halo (2-panel gather band, max_disp <= 62)
+
+
+def _bitcast_u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _bitcast_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _advect3d_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem, *,
+                     dt, max_disp, tile_d, tile_h, tile_w, pz, pr, d, h, w,
+                     no_slip, pack):
+    """One (plane-tile, row-tile, col-tile) program; all channels.
+
+    src_vmem: (c, tile_d + 2*pz, tile_h + 2*pr, tile_w + 2*_LH);
+    acc_vmem: (c * tile_h, tile_w) f32, reused per output plane.
+    """
+    n_ch = src_vmem.shape[0]
+    ww = tile_w + 2 * _LH
+    zi = pl.program_id(0)
+    r = pl.program_id(1)
+    cidx = pl.program_id(2)
+    z0 = zi * tile_d
+    row0 = r * tile_h
+    col0 = cidx * tile_w
+
+    dma = pltpu.make_async_copy(
+        field_hbm.at[:, pl.ds(z0, tile_d + 2 * pz),
+                     pl.ds(row0, tile_h + 2 * pr), pl.ds(col0, ww)],
+        src_vmem,
+        sem,
+    )
+    dma.start()
+
+    f32 = jnp.float32
+    i_loc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    i_glob = (i_loc + row0).astype(f32)
+    j_glob = (j_loc + col0).astype(f32)
+
+    for dz in range(tile_d):
+        zg = z0 + dz
+        zf = f32(zg)
+        v0 = vel_ref[0, dz].astype(f32)
+        v1 = vel_ref[1, dz].astype(f32)
+        v2 = vel_ref[2, dz].astype(f32)
+        sz_raw = zf - v0 * f32(dt)
+        si_raw = i_glob - v1 * f32(dt)
+        sj_raw = j_glob - v2 * f32(dt)
+
+        # CFL clamp per axis, then the domain clamp (edge collapse)
+        sz = jnp.clip(jnp.clip(sz_raw, zf - max_disp, zf + max_disp),
+                      0.0, f32(d - 1))
+        si = jnp.clip(jnp.clip(si_raw, i_glob - max_disp, i_glob + max_disp),
+                      0.0, f32(h - 1))
+        sj = jnp.clip(jnp.clip(sj_raw, j_glob - max_disp, j_glob + max_disp),
+                      0.0, f32(w - 1))
+        z0f = jnp.clip(jnp.floor(sz), 0.0, f32(d - 2))
+        i0 = jnp.clip(jnp.floor(si), 0.0, f32(h - 2))
+        j0 = jnp.clip(jnp.floor(sj), 0.0, f32(w - 2))
+        dzf = sz - z0f
+        dif = si - i0
+        djf = sj - j0
+
+        rel_z = (z0f - zf).astype(jnp.int32)
+        rel_i = (i0 - i_glob).astype(jnp.int32)
+        lj = (j0 - f32(col0 - _LH)).astype(jnp.int32)
+
+        row_valid = (i_glob <= f32(h - 1))
+        masked_rz = jnp.where(row_valid, rel_z, 0)
+        masked_ri = jnp.where(row_valid, rel_i, 0)
+        # tile-wide z-shift range (vertical velocity is smooth over a tile)
+        zmin = jnp.min(masked_rz)
+        zmax = jnp.max(masked_rz)
+
+        wz1 = dzf
+        wz0 = 1.0 - dzf
+        wi1 = dif
+        wi0 = 1.0 - dif
+
+        if dz == 0:
+            dma.wait()
+
+        acc_vmem[...] = jnp.zeros(acc_vmem.shape, f32)
+
+        # per-panel quantities (independent of the z-shift): hoist once
+        n_out = tile_w // LANE
+        panels = []
+        for po in range(n_out):
+            sl = slice(po * LANE, (po + 1) * LANE)
+            lj_p = lj[:, sl]
+            ent = {
+                "sl": sl,
+                "rz_p": rel_z[:, sl], "ri_p": rel_i[:, sl],
+                "wz0_p": wz0[:, sl], "wz1_p": wz1[:, sl],
+                "wi0_p": wi0[:, sl], "wi1_p": wi1[:, sl],
+                "dj_p": djf[:, sl], "one_m_dj": 1.0 - djf[:, sl],
+                "mod_p": jnp.bitwise_and(lj_p, LANE - 1),
+                "e_q": [jnp.floor_divide(lj_p, LANE) == po,
+                        jnp.floor_divide(lj_p, LANE) == po + 1],
+                "smin": jnp.min(masked_ri[:, sl]),
+                "smax": jnp.max(masked_ri[:, sl]),
+            }
+            if not pack:
+                lj1_p = lj_p + 1
+                ent["mod1_p"] = jnp.bitwise_and(lj1_p, LANE - 1)
+                ent["e1_q"] = [jnp.floor_divide(lj1_p, LANE) == po,
+                               jnp.floor_divide(lj1_p, LANE) == po + 1]
+            panels.append(ent)
+
+        for sz_s in range(-max_disp, max_disp + 2):
+            @pl.when(jnp.logical_and(zmin <= sz_s, sz_s <= zmax + 1))
+            def _(sz_s=sz_s, dz=dz):
+                # source planes for this z-shift, packed once per channel
+                xs = []
+                for ch in range(n_ch):
+                    x = src_vmem[ch, pz + dz + sz_s].astype(f32)
+                    if pack:
+                        nxt = pltpu.roll(x, ww - 1, 1)
+                        x = _bitcast_f32(_bitcast_u32(x)
+                                         | (_bitcast_u32(nxt) >> 16))
+                    xs.append(x)
+                for po in range(n_out):
+                    p = panels[po]
+                    zcontrib = (
+                        jnp.where(p["rz_p"] == sz_s, p["wz0_p"], 0.0)
+                        + jnp.where(p["rz_p"] == sz_s - 1, p["wz1_p"], 0.0))
+                    for s in range(-max_disp, max_disp + 2):
+                        @pl.when(jnp.logical_and(p["smin"] <= s,
+                                                 s <= p["smax"] + 1))
+                        def _(s=s, po=po, p=p, zcontrib=zcontrib, xs=xs):
+                            contrib = zcontrib * (
+                                jnp.where(p["ri_p"] == s, p["wi0_p"], 0.0)
+                                + jnp.where(p["ri_p"] == s - 1,
+                                            p["wi1_p"], 0.0))
+                            for ch in range(n_ch):
+                                rows_s = xs[ch][pr + s:pr + s + tile_h, :]
+                                colv = jnp.zeros((tile_h, LANE), f32)
+                                for qi, q in enumerate((po, po + 1)):
+                                    pan = rows_s[:, q * LANE:(q + 1) * LANE]
+                                    if pack:
+                                        g = jnp.take_along_axis(
+                                            pan, p["mod_p"], axis=1)
+                                        gu = _bitcast_u32(g)
+                                        vlo = _bitcast_f32(
+                                            gu & jnp.uint32(0xFFFF0000))
+                                        vhi = _bitcast_f32(gu << 16)
+                                        cv = (vlo * p["one_m_dj"]
+                                              + vhi * p["dj_p"])
+                                        colv += jnp.where(p["e_q"][qi],
+                                                          cv, 0.0)
+                                    else:
+                                        g0 = jnp.take_along_axis(
+                                            pan, p["mod_p"], axis=1)
+                                        g1 = jnp.take_along_axis(
+                                            pan, p["mod1_p"], axis=1)
+                                        colv += (
+                                            jnp.where(p["e_q"][qi], g0, 0.0)
+                                            * p["one_m_dj"]
+                                            + jnp.where(p["e1_q"][qi],
+                                                        g1, 0.0) * p["dj_p"])
+                                acc_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                         p["sl"]] += colv * contrib
+
+        if no_slip:
+            def axis_factor(raw, n):
+                under = raw < 0
+                over = raw >= n - 1
+                overshoot = jnp.where(under, -raw, raw - f32(n - 1))
+                return jnp.where(
+                    under | over,
+                    jnp.where(overshoot < 0.5, 1.0 - 2.0 * overshoot, 0.0),
+                    1.0,
+                )
+            ns = (axis_factor(sz_raw, d) * axis_factor(si_raw, h)
+                  * axis_factor(sj_raw, w))
+        for ch in range(n_ch):
+            a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
+            if no_slip:
+                a = a * ns
+            out_ref[ch, dz, :, :] = a.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "no_slip", "max_disp", "tile_d", "tile_h",
+                     "tile_w"))
+def advect3d_pallas(field: jax.Array, vel: jax.Array, dt: float,
+                    no_slip: bool, max_disp: int = 4, tile_d: int = 2,
+                    tile_h: int = 32, tile_w: int = 1024):
+    """Drop-in replacement for ``ops.advect.advect`` on large 3D grids.
+
+    field: ``[D, H, W]`` or ``[C, D, H, W]``; vel: ``[3, D, H, W]``.
+    Displacements are clamped to ``max_disp`` cells per axis (CFL clamp).
+    """
+    if max_disp > _LH - 2:
+        raise ValueError(f"max_disp={max_disp} exceeds the 2-panel gather "
+                         f"band (max_disp <= {_LH - 2})")
+    squeeze = field.ndim == 3
+    if squeeze:
+        field = field[None]
+    c, d, h, w = field.shape
+    pz = max_disp + 1                        # leading dim: no alignment
+    pr = pl.cdiv(max_disp + 1, 8) * 8
+    td = min(tile_d, d)
+    th = min(tile_h, pl.cdiv(h, 8) * 8)
+    tw = min(tile_w, pl.cdiv(w, 128) * 128)
+    dp = pl.cdiv(d, td) * td
+    hp = pl.cdiv(h, th) * th
+    wp = pl.cdiv(w, tw) * tw
+
+    fpad = jnp.pad(field, ((0, 0), (pz, pz + dp - d),
+                           (pr, pr + hp - h), (_LH, _LH + wp - w)))
+    vpad = jnp.pad(vel, ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w)))
+    pack = field.dtype == jnp.bfloat16
+
+    kernel = functools.partial(
+        _advect3d_kernel, dt=dt, max_disp=max_disp, tile_d=td, tile_h=th,
+        tile_w=tw, pz=pz, pr=pr, d=d, h=h, w=w, no_slip=no_slip, pack=pack)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(dp // td, hp // th, wp // tw),
+        in_specs=[
+            pl.BlockSpec((3, td, th, tw), lambda z, r, cl: (0, z, r, cl),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((c, td, th, tw), lambda z, r, cl: (0, z, r, cl),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, dp, hp, wp), field.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, td + 2 * pz, th + 2 * pr, tw + 2 * _LH),
+                       fpad.dtype),
+            pltpu.VMEM((c * th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(vpad, fpad)
+
+    out = out[:, :d, :h, :w]
+    return out[0] if squeeze else out

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rb_common import packed_rb_solve_full
+from .tiling import pick_tile
 
 
 def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
@@ -122,8 +123,8 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
                    static_argnames=("dx", "iters", "omega", "tile_h",
                                     "tile_w", "global_shape", "halo"))
 def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
-                         omega: float = 1.96, tile_h: int = 128,
-                         tile_w: int = 1024,
+                         omega: float = 1.96, tile_h: int | None = None,
+                         tile_w: int | None = None,
                          global_offset: jax.Array | None = None,
                          global_shape=None, halo: int = 0):
     """(projected velocity, pressure) — replaces divergence + sor_solve +
@@ -153,8 +154,11 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     if halo > min(pr, pc):
         raise ValueError(f"halo={halo} exceeds the aligned kernel window "
                          f"(pr={pr}, pc={pc})")
-    th = min(tile_h, pl.cdiv(bh, 8) * 8)
-    tw = min(tile_w, pl.cdiv(bw, 128) * 128)
+    # auto tiles minimize n_tiles * window_area (see ops/pallas/tiling.py)
+    th = (pick_tile(bh, pr, 8, 256) if tile_h is None
+          else min(tile_h, pl.cdiv(bh, 8) * 8))
+    tw = (pick_tile(bw, pc, 128, 1024) if tile_w is None
+          else min(tile_w, pl.cdiv(bw, 128) * 128))
     hp = pl.cdiv(bh, th) * th
     wp = pl.cdiv(bw, tw) * tw
     goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None

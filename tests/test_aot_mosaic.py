@@ -55,3 +55,10 @@ def test_render_kernel_compiles(tpu_sharding):
         _sds(tpu_sharding, (3, 257, 257))).compile()
     jax.jit(lambda c: render_rgb565_pallas(c, 4)).lower(
         _sds(tpu_sharding, (3, 61, 81))).compile()
+
+
+def test_advect3d_kernel_compiles(tpu_sharding):
+    from esp32_fluid_simulation_tpu.ops.pallas.advect3d import advect3d_pallas
+    jax.jit(lambda f, v: advect3d_pallas(f, v, 1 / 30., True, 4)).lower(
+        _sds(tpu_sharding, (3, 128, 256, 256)),
+        _sds(tpu_sharding, (3, 128, 256, 256))).compile()

@@ -141,3 +141,45 @@ def test_advect_pallas_static_unroll(rng):
     b = advect_pallas(f, v, 1 / 30., True, max_disp=8, static_unroll=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_advect3d_pallas_matches_jnp(rng):
+    """3D gather kernel (ops/pallas/advect3d) == rank-polymorphic jnp advect
+    for in-clamp velocities, f32 exact and bf16 packed."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect3d import advect3d_pallas
+    shape = (12, 24, 136)
+    f = jnp.asarray(rng.random((2,) + shape, dtype=F))
+    v = jnp.asarray(np.clip(40 * rng.standard_normal((3,) + shape),
+                            -110, 110).astype(F))
+    for no_slip in (False, True):
+        want = advect(f, v, 1 / 30., no_slip)
+        got = advect3d_pallas(f, v, 1 / 30., no_slip, max_disp=4,
+                              tile_d=2, tile_h=16)
+        # trilinear weights accumulate in a different association than the
+        # nested-lerp jnp form: ~1 ulp of slack per tap
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=5e-5)
+    fb = f.astype(jnp.bfloat16)
+    got_b = advect3d_pallas(fb, v, 1 / 30., False, max_disp=4,
+                            tile_d=2, tile_h=16)
+    want_b = advect(fb, v, 1 / 30., False)
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(want_b, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_advect_maccormack_pallas_matches_jnp(rng):
+    """Kernel-backed MacCormack (in-kernel stencil extrema + backward pass)
+    == ops.advect.advect_maccormack for in-clamp velocities."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import (
+        advect_maccormack_pallas)
+    from esp32_fluid_simulation_tpu.ops.advect import advect_maccormack
+    shape = (96, 200)
+    f = jnp.asarray(rng.random((3,) + shape, dtype=F))
+    v = jnp.asarray(np.clip(60 * rng.standard_normal((2,) + shape),
+                            -320, 320).astype(F))
+    for no_slip in (False, True):
+        want = advect_maccormack(f, v, 1 / 30., no_slip)
+        got = advect_maccormack_pallas(f, v, 1 / 30., no_slip, max_disp=12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=2e-5)
