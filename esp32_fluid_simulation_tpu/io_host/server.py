@@ -119,6 +119,14 @@ class SimServer:
         state = init_state(self.cfg)
         pacer = FramePacer(self.fps)
         s = self.cfg.scaling
+        # Warm up the with-impulses step variant AND Impulses.from_lists's
+        # small device ops before serving: otherwise the FIRST user drag
+        # stalls the sim thread for seconds of remote jit compilation
+        # (measured ~4 s on the tunneled TPU) — a zero-velocity impulse at
+        # (0, 0) is a no-op on the zero-velocity initial state.
+        warm = Impulses.from_lists(self.cfg, [(0, 0)],
+                                   [(0.0,) * self.cfg.ndim])
+        state = self._step(state, warm)
         while not self._stop.is_set():
             drags = self.queue.drain(self.cfg.max_impulses)
             # queue entries are already sim-frame (i, j, vi, vj)
@@ -227,6 +235,13 @@ def make_handler(sim: SimServer):
 
 def serve(cfg: SimConfig, port: int = 8000, fps: float = 30.0,
           n_frames=None):
+    # Initialize the JAX backend from the MAIN thread before the sim thread
+    # touches it: the tunneled TPU plugin on the dev machine deadlocks if
+    # its first initialization happens on a secondary thread (subsequent
+    # threaded compiles/executions are fine).
+    import jax.numpy as jnp
+    jax.block_until_ready(jnp.zeros(()) + 1)
+
     sim = SimServer(cfg, fps=fps)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(sim))
     sim_thread = threading.Thread(target=sim.run_sim, args=(n_frames,),

@@ -63,14 +63,21 @@ class Impulses(NamedTuple):
 
     @classmethod
     def from_lists(cls, cfg: SimConfig, pos, vel) -> "Impulses":
-        """Build a padded batch from python lists of (pos, velocity) tuples."""
+        """Build a padded batch from python lists of (pos, velocity) tuples.
+
+        Padding happens host-side in numpy: ``jnp.at[:n].set`` would
+        jit-compile a fresh tiny program for every distinct ``n``, which on
+        a remote-compile backend stalls an interactive first-drag by
+        seconds (measured ~3.5 s on the tunneled v5e)."""
+        import numpy as np
         k, nd = cfg.max_impulses, cfg.ndim
         n = min(len(pos), k)
-        p = jnp.zeros((k, nd), jnp.int32)
-        v = jnp.zeros((k, nd), cfg.jdtype)
-        a = jnp.zeros((k,), jnp.bool_)
+        p = np.zeros((k, nd), np.int32)
+        v = np.zeros((k, nd), np.float32)   # cast to cfg.jdtype below
+        a = np.zeros((k,), np.bool_)
         if n:
-            p = p.at[:n].set(jnp.asarray(pos[:n], jnp.int32))
-            v = v.at[:n].set(jnp.asarray(vel[:n], cfg.jdtype))
-            a = a.at[:n].set(True)
-        return cls(pos=p, velocity=v, active=a)
+            p[:n] = np.asarray(pos[:n], np.int32)
+            v[:n] = np.asarray(vel[:n])
+            a[:n] = True
+        return cls(pos=jnp.asarray(p), velocity=jnp.asarray(v, cfg.jdtype),
+                   active=jnp.asarray(a))
