@@ -90,8 +90,11 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
     _sync(state)
     t1 = _time_chain(one, state, 1)
     tn = _time_chain(one, state, n)
-    per = max((tn - t1) / (n - 1), 1e-9)
-    return 1.0 / per
+    if tn <= t1 * 1.05:   # tunnel hiccup made the 1-chain slower: remeasure
+        t1 = _time_chain(one, state, 1)
+        tn = _time_chain(one, state, n)
+    per = (tn - t1) / (n - 1) if tn > t1 else tn / n
+    return 1.0 / max(per, 1e-9)
 
 
 def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
@@ -118,6 +121,40 @@ def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
     return 1.0 / max((tn - t1) / (n - 1), 1e-9)
 
 
+def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
+                               kernel=True):
+    """BASELINE config 4 on the tiled-domain supergrid (SimConfig
+    .domain_tile): every member is a tile of one big grid, all boundary
+    conditions act per tile, and the whole ensemble advances in one
+    kernel-path step."""
+    from esp32_fluid_simulation_tpu import SimConfig, Impulses
+    from esp32_fluid_simulation_tpu.models.stable_fluids import init_state
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        tiled_ensemble_config, tiled_member_impulses)
+    from esp32_fluid_simulation_tpu import make_step
+
+    member = SimConfig(shape=shape, scaling=1)
+    cfg, gh, gw = tiled_ensemble_config(
+        member, n_members, solver="fused_pallas" if kernel else "sor")
+    state = init_state(cfg)
+    fn = make_step(cfg, donate=False)
+    h, w = shape
+    imp = tiled_member_impulses(
+        cfg, member, gh, gw,
+        [([(h // 2, w // 2)], [(150.0, -80.0)])
+         if m % 16 == 0 else ([], []) for m in range(n_members)])
+
+    def one(st):
+        return fn(st, imp)
+
+    one(state)
+    _sync(state)
+    t1 = _time_chain(one, state, 1)
+    tn = _time_chain(one, state, n)
+    per = (tn - t1) / (n - 1) if tn > t1 else tn / n
+    return 1.0 / max(per, 1e-9)
+
+
 def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
     # production path: the fused single-pass Pallas solve on TPU
     if jax.default_backend() == "tpu" and len(shape) == 2:
@@ -128,13 +165,21 @@ def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
         fn = jax.jit(lambda x: sor_solve(x, 1.0, iters, 1.96))
     d = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
     _sync(fn(d))
-    t0 = time.time()
-    cur = d
-    for _ in range(n):
-        cur = fn(cur)
-    _sync(cur)
-    per_solve = (time.time() - t0) / n
-    return per_solve / iters * 1e6
+
+    def chain(k):
+        t0 = time.time()
+        cur = d
+        for _ in range(k):
+            cur = fn(cur)
+        _sync(cur)
+        return time.time() - t0
+
+    # difference a 1-chain run: the tunnel's dispatch+fetch overhead
+    # otherwise inflates the per-sweep number ~3x
+    t1 = chain(1)
+    tn = chain(n)
+    per_solve = (tn - t1) / (n - 1) if tn > t1 else tn / n
+    return max(per_solve, 1e-9) / iters * 1e6
 
 
 def main():
@@ -195,11 +240,16 @@ def main():
                   color_dtype="bfloat16", scaling=1),
         n=n_big, render=True, render_s=1)
 
-    # Config 4: vmap-batched ensemble (whole-ensemble steps/sec; member
-    # steps/sec is n_members times this).
+    # Config 4: the ensemble two ways — vmap-batched (the API shape) and
+    # the tiled-domain supergrid (one kernel-path step for all members;
+    # whole-ensemble steps/sec; member steps/sec is n_members times this).
     results["ensemble_steps_per_s"] = bench_ensemble_steps(
         n_members=8 if smoke else 256,
         shape=(64, 64) if smoke else (256, 256), n=3 if smoke else 10)
+    results["ensemble_tiled_steps_per_s"] = bench_tiled_ensemble_steps(
+        n_members=4 if smoke else 256,
+        shape=(64, 64) if smoke else (256, 256), n=3 if smoke else 10,
+        kernel=use_pallas)
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)

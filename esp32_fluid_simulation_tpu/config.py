@@ -62,6 +62,12 @@ class SimConfig:
     max_impulses: int = 16       # static impulse-buffer length per step
     mg_levels: int = 0           # 0 = auto for multigrid solver
     mg_cycles: int = 2           # V-cycles per projection (multigrid solver)
+    # Tiled-domain mode (BASELINE config 4 at kernel speed): the grid is a
+    # supergrid of independent (mh, mw) member domains — every boundary
+    # condition (advect clamps/no-slip, reflected-ghost divergence, Neumann
+    # a_ii and zero-ghost sums, gradient clamp) acts per member tile.
+    # None = one domain (the normal sim).
+    domain_tile: Tuple[int, int] | None = None
 
     def __post_init__(self):
         if len(self.shape) not in (2, 3):
@@ -78,6 +84,24 @@ class SimConfig:
         if self.advect_sample_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"unknown advect_sample_dtype {self.advect_sample_dtype!r}")
+        if self.domain_tile is not None:
+            object.__setattr__(self, "domain_tile",
+                               tuple(self.domain_tile))
+            if self.ndim != 2:
+                raise ValueError("domain_tile requires a 2D grid")
+            mh, mw = self.domain_tile
+            if self.shape[0] % mh or self.shape[1] % mw:
+                raise ValueError(
+                    f"domain_tile {self.domain_tile} must divide the grid "
+                    f"{self.shape}")
+            if self.advector != "semilag" or self.solver not in (
+                    "sor", "fused_pallas", "jacobi"):
+                raise ValueError(
+                    "domain_tile supports advector='semilag' with "
+                    "solver='sor'/'jacobi'/'fused_pallas'")
+            if self.vorticity_eps > 0.0:
+                raise ValueError("domain_tile does not support vorticity "
+                                 "confinement yet")
 
     # -- derived -----------------------------------------------------------
     @property

@@ -35,7 +35,20 @@ from ..ops.blur import triangular_blur_inplace
 def init_color(cfg: SimConfig) -> jax.Array:
     """Angular RGB sectors around the grid center, then two in-place
     [1/4,1/2,1/4] blurs (``.ino:203-241``).  Colors are unit-scale floats
-    (the reference's UQ32 fixed point maps uint32 onto [0,1), ``uq32.h``)."""
+    (the reference's UQ32 fixed point maps uint32 onto [0,1), ``uq32.h``).
+
+    In tiled-domain mode every member tile gets its own (identical) sector
+    init — the member pattern is built and blurred once, then tiled, so the
+    blur never smears across member boundaries."""
+    if cfg.domain_tile is not None:
+        import dataclasses
+        mh, mw = cfg.domain_tile
+        member_cfg = dataclasses.replace(cfg, shape=(mh, mw),
+                                         domain_tile=None, solver="sor")
+        member = init_color(member_cfg)
+        gh = cfg.shape[0] // mh
+        gw = cfg.shape[1] // mw
+        return jnp.tile(member, (1, gh, gw))
     h, w = cfg.shape[-2], cfg.shape[-1]
     ci, cj = h // 2, w // 2
     ii = np.arange(h, dtype=np.float32)[:, None]
@@ -127,8 +140,75 @@ def _advect_by(cfg: SimConfig):
     return advect
 
 
+def _to_members(x: jax.Array, mh: int, mw: int) -> jax.Array:
+    """[C, gh*mh, gw*mw] -> [gh*gw, C, mh, mw] (tiled-domain <-> batch)."""
+    c, H, W = x.shape
+    gh, gw = H // mh, W // mw
+    return (x.reshape(c, gh, mh, gw, mw)
+            .transpose(1, 3, 0, 2, 4).reshape(gh * gw, c, mh, mw))
+
+
+def _from_members(x: jax.Array, H: int, W: int) -> jax.Array:
+    n, c, mh, mw = x.shape
+    gh, gw = H // mh, W // mw
+    return (x.reshape(gh, gw, c, mh, mw)
+            .transpose(2, 0, 3, 1, 4).reshape(c, H, W))
+
+
+def _step_tiled(state: SimState, impulses: Impulses,
+                cfg: SimConfig) -> SimState:
+    """Tiled-domain step (BASELINE config 4 at kernel speed): one supergrid
+    of independent member domains.  The kernels evaluate every boundary
+    condition per (mh, mw) member tile; the jnp fallback vmaps the member
+    ops over a reshaped batch (also the parity oracle)."""
+    mh, mw = cfg.domain_tile
+    H, W = cfg.shape
+    use_kernel = (cfg.solver == "fused_pallas" and _use_pallas_advect(cfg))
+    if use_kernel:
+        from ..ops.pallas.advect import advect_pallas
+        from ..ops.pallas.project import project_fused_pallas
+        bf16 = cfg.advect_sample_dtype == "bfloat16"
+
+        def adv(field, vel, no_slip):
+            return advect_pallas(field, vel, cfg.dt, no_slip,
+                                 max_disp=cfg.advect_max_disp,
+                                 member=(mh, mw), sample_bf16=bf16)
+
+        vel = adv(state.velocity, state.velocity, True)
+        vel = apply_impulses(vel, impulses)
+        vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
+                                      member=(mh, mw))
+        color = adv(state.color, vel, False)
+        color = jnp.clip(color, 0.0, 1.0)
+        return SimState(velocity=vel, color=color, step=state.step + 1)
+
+    # jnp fallback: vmap the member ops over the reshaped batch
+    from ..ops.poisson import sor_solve, jacobi_solve
+
+    def project_m(v):
+        d = divergence(v, cfg.dx)
+        if cfg.solver == "jacobi":
+            p = jacobi_solve(d, cfg.dx, cfg.sor_iters, min(cfg.omega, 1.0))
+        else:
+            p = sor_solve(d, cfg.dx, cfg.sor_iters, cfg.omega)
+        return subtract_gradient(v, p, cfg.dx)
+
+    vel_m = _to_members(state.velocity, mh, mw)
+    vel_m = jax.vmap(lambda v: advect(v, v, cfg.dt, no_slip=True))(vel_m)
+    vel = _from_members(vel_m, H, W)
+    vel = apply_impulses(vel, impulses)
+    vel_m = jax.vmap(project_m)(_to_members(vel, mh, mw))
+    col_m = jax.vmap(lambda f, v: advect(f, v, cfg.dt, no_slip=False))(
+        _to_members(state.color, mh, mw), vel_m)
+    vel = _from_members(vel_m, H, W)
+    color = jnp.clip(_from_members(col_m, H, W), 0.0, 1.0)
+    return SimState(velocity=vel, color=color, step=state.step + 1)
+
+
 def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
     """One simulation step — the pure-functional ``loop()`` (``.ino:249-289``)."""
+    if cfg.domain_tile is not None:
+        return _step_tiled(state, impulses, cfg)
     adv = _advect_by(cfg)
 
     vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)

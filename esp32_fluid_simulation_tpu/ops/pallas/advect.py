@@ -69,12 +69,16 @@ def _bitcast_f32(x):
 
 
 def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
-               no_slip, goff=None, bh=None):
+               no_slip, goff=None, bh=None, member=None):
     """Common backtrace coordinate math (advect.h:78-84).
 
     ``goff``: traced (or zero) global offset of this *block* — under
     ``shard_map`` each shard runs the kernel on its local block and the
     domain clamps/no-slip tests need global coordinates.
+
+    ``member``: static (mh, mw) — tiled-domain mode (BASELINE config 4):
+    every domain clamp / no-slip test acts per (mh, mw) member tile of the
+    supergrid instead of the whole grid.
 
     Returns (i0-rel row shift, row-lerp weights, global float col of the
     left bilinear tap, col frac, row_valid mask, no-slip factor or None).
@@ -95,14 +99,24 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
     si_raw = i_glob - v0 * f32(dt)
     sj_raw = j_glob - v1 * f32(dt)
 
+    if member is None:
+        lo_i = f32(0.0)
+        lo_j = f32(0.0)
+        mh, mw = h, w
+    else:
+        # member-tile origins (exact: integer-valued f32 below 2^24)
+        mh, mw = member
+        lo_i = jnp.floor(i_glob / mh) * mh
+        lo_j = jnp.floor(j_glob / mw) * mw
+
     # CFL clamp to the halo radius, then the reference's domain clamp
-    # (edge-collapse sampling, advect.h:44-55).
+    # (edge-collapse sampling, advect.h:44-55) — per member in tiled mode.
     si = jnp.clip(si_raw, i_glob - max_disp, i_glob + max_disp)
     sj = jnp.clip(sj_raw, j_glob - max_disp, j_glob + max_disp)
-    si = jnp.clip(si, 0.0, f32(h - 1))
-    sj = jnp.clip(sj, 0.0, f32(w - 1))
-    i0 = jnp.clip(jnp.floor(si), 0.0, f32(h - 2))
-    j0 = jnp.clip(jnp.floor(sj), 0.0, f32(w - 2))
+    si = jnp.clip(si, lo_i, lo_i + f32(mh - 1))
+    sj = jnp.clip(sj, lo_j, lo_j + f32(mw - 1))
+    i0 = jnp.clip(jnp.floor(si), lo_i, lo_i + f32(mh - 2))
+    j0 = jnp.clip(jnp.floor(sj), lo_j, lo_j + f32(mw - 2))
     di = si - i0
     dj = sj - j0
 
@@ -116,7 +130,8 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
 
     ns_factor = None
     if no_slip:
-        # advect.h:57-71, computed from the *unclamped* backtrace coords.
+        # advect.h:57-71, computed from the *unclamped* backtrace coords
+        # (member-relative in tiled mode).
         def axis_factor(raw, n):
             under = raw < 0
             over = raw >= n - 1
@@ -126,14 +141,15 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
                 jnp.where(overshoot < 0.5, 1.0 - 2.0 * overshoot, 0.0),
                 1.0,
             )
-        ns_factor = axis_factor(si_raw, h) * axis_factor(sj_raw, w)
+        ns_factor = (axis_factor(si_raw - lo_i, mh)
+                     * axis_factor(sj_raw - lo_j, mw))
 
     return rel_i, (1.0 - di, di), j0, dj, row_valid, ns_factor
 
 
 def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                          tile_h, tile_w, pr, h, w, bh, no_slip, pack,
-                         ret_minmax):
+                         ret_minmax, member=None):
     """One (row-tile, col-tile) program; all channels.  See module doc,
     variant "panel".
 
@@ -177,7 +193,8 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
     goff = (goff_ref[0, 0], goff_ref[0, 1])
     rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
         vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
-        tile_w=tile_w, h=h, w=w, no_slip=no_slip, goff=goff, bh=bh)
+        tile_w=tile_w, h=h, w=w, no_slip=no_slip, goff=goff, bh=bh,
+        member=member)
 
     # Local column of j0 inside the window: lj - (output lane) is in
     # [LH-max_disp-1, LH+max_disp] ⊂ [1, 127] for max_disp <= 62.  j0 is a
@@ -371,14 +388,14 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
-                     "sample_bf16", "return_minmax"))
+                     "sample_bf16", "return_minmax", "member"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 32, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "panel",
                   global_offset: jax.Array | None = None,
                   global_shape: Tuple[int, int] | None = None,
                   halo: int = 0, sample_bf16: bool = False,
-                  return_minmax: bool = False):
+                  return_minmax: bool = False, member=None):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -414,6 +431,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                          "variant (max_disp <= 62)")
     if return_minmax and variant != "panel":
         raise ValueError("return_minmax requires the panel variant")
+    if member is not None and variant != "panel":
+        raise ValueError("tiled-domain mode requires the panel variant")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -458,7 +477,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         kernel = functools.partial(
             _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
-            ret_minmax=return_minmax)
+            ret_minmax=return_minmax, member=member)
 
         grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                   memory_space=pltpu.VMEM)

@@ -33,7 +33,7 @@ from .tiling import pick_tile
 
 def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
                     *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh,
-                    bw):
+                    bw, member=None):
     r = pl.program_id(0)
     c = pl.program_id(1)
     row0 = r * tile_h
@@ -64,10 +64,20 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
         hm = 2 * iters + 2
         in_dom &= ((li >= -hm) & (li < bh + hm)
                    & (lj >= -hm) & (lj < bw + hm))
-    at_i_lo = gi == 0
-    at_i_hi = gi == h - 1
-    at_j_lo = gj == 0
-    at_j_hi = gj == w - 1
+    if member is None:
+        at_i_lo = gi == 0
+        at_i_hi = gi == h - 1
+        at_j_lo = gj == 0
+        at_j_hi = gj == w - 1
+    else:
+        # tiled-domain mode: walls live at every member-tile boundary
+        mh, mw = member
+        gim = gi % mh
+        gjm = gj % mw
+        at_i_lo = gim == 0
+        at_i_hi = gim == mh - 1
+        at_j_lo = gjm == 0
+        at_j_hi = gjm == mw - 1
 
     dma.wait()
     vx = jnp.where(in_dom, vwin_vmem[0].astype(f32), 0.0)
@@ -103,7 +113,8 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
     # lanes of the masked full-width loop; bit-identical results)
     gi0 = (row0 - pr) + goff_ref[0, 0]
     gj0 = (col0 - pc) + goff_ref[0, 1]
-    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega)
+    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega,
+                             member=member)
 
     # gradient subtract with Neumann edge clamp (finitediff.cpp:41-73)
     p_im1 = jnp.where(at_i_lo, p, up(p))
@@ -121,12 +132,13 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
 
 @functools.partial(jax.jit,
                    static_argnames=("dx", "iters", "omega", "tile_h",
-                                    "tile_w", "global_shape", "halo"))
+                                    "tile_w", "global_shape", "halo",
+                                    "member"))
 def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
                          omega: float = 1.96, tile_h: int | None = None,
                          tile_w: int | None = None,
                          global_offset: jax.Array | None = None,
-                         global_shape=None, halo: int = 0):
+                         global_shape=None, halo: int = 0, member=None):
     """(projected velocity, pressure) — replaces divergence + sor_solve +
     subtract_gradient for 2D grids.
 
@@ -154,8 +166,10 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     if halo > min(pr, pc):
         raise ValueError(f"halo={halo} exceeds the aligned kernel window "
                          f"(pr={pr}, pc={pc})")
-    # auto tiles minimize n_tiles * window_area (see ops/pallas/tiling.py)
-    th = (pick_tile(bh, pr, 8, 256) if tile_h is None
+    # auto tiles minimize n_tiles * window_area (see ops/pallas/tiling.py);
+    # th capped at 128: the 2-channel window + packed-RB arrays at th=256
+    # exceed the 16M scoped-vmem limit (measured OOM at 1024^2)
+    th = (pick_tile(bh, pr, 8, 128) if tile_h is None
           else min(tile_h, pl.cdiv(bh, 8) * 8))
     tw = (pick_tile(bw, pc, 128, 1024) if tile_w is None
           else min(tile_w, pl.cdiv(bw, 128) * 128))
@@ -169,7 +183,8 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
 
     kernel = functools.partial(
         _project_kernel, iters=iters, omega=omega, dx=dx,
-        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw)
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw,
+        member=member)
 
     vout, pout = pl.pallas_call(
         kernel,

@@ -93,7 +93,8 @@ def interleave_parity(e, o, base, ww):
     return jnp.concatenate(panels, axis=1) if len(panels) > 1 else panels[0]
 
 
-def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
+def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega,
+                         member=None):
     """Returns full-width pressure after ``2*iters`` half-sweeps.
 
     Same math/order as the full-width kernels: zero-ghost neighbor sums in
@@ -105,6 +106,11 @@ def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
     gi0/gj0: traced int32 scalars — global coordinates of window (0, 0);
     in_dom: validity mask (domain bounds, possibly tightened to a block's
     halo horizon); h/w: global domain extent.
+
+    ``member``: static (mh, mw) — tiled-domain mode: every (mh, mw) tile of
+    the supergrid is an independent domain: the Neumann diagonal uses
+    member-local edges and neighbor sums are zeroed across member
+    boundaries (each member solves its own Poisson system exactly).
     """
     f32 = jnp.float32
     rows, ww = dxd.shape
@@ -123,12 +129,26 @@ def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
     gjE = gj0 + 2 * lane + a_b
     gjO = gj0 + 2 * lane + 1 - a_b
 
+    if member is None:
+        mh, mw = None, None
+
+        def edges(gjP):
+            return (giP == 0, giP == h - 1, gjP == 0, gjP == w - 1)
+    else:
+        mh, mw = member
+        # window coords can be negative (halo): use floor-mod (% in jnp is
+        # floor-mod for int32, so negatives wrap correctly)
+        gim = giP % mh
+
+        def edges(gjP):
+            gjm = gjP % mw
+            return (gim == 0, gim == mh - 1, gjm == 0, gjm == mw - 1)
+
     def consts(gjP):
+        i_lo, i_hi, j_lo, j_hi = edges(gjP)
         aii = (4
-               - (giP == 0).astype(jnp.int32)
-               - (giP == h - 1).astype(jnp.int32)
-               - (gjP == 0).astype(jnp.int32)
-               - (gjP == w - 1).astype(jnp.int32))
+               - i_lo.astype(jnp.int32) - i_hi.astype(jnp.int32)
+               - j_lo.astype(jnp.int32) - j_hi.astype(jnp.int32))
         return jnp.where(
             aii == 4, f32(np.float32(-0.25)),
             jnp.where(aii == 3, f32(np.float32(-1.0 / 3.0)),
@@ -136,6 +156,11 @@ def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
 
     neg_invE = consts(gjE)
     neg_invO = consts(gjO)
+    if member is not None:
+        # neighbor-sum masks: destination cells on a member edge read 0
+        # from across the boundary (the zero-ghost semantics, per member)
+        mE = (gim == 0, gim == mh - 1, gjE % mw == 0, gjE % mw == mw - 1)
+        mO = (gim == 0, gim == mh - 1, gjO % mw == 0, gjO % mw == mw - 1)
 
     wgt = f32(omega)
     one_m_w = f32(1.0 - omega)
@@ -154,6 +179,15 @@ def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
         dn = jnp.concatenate([x[1:, :], zrow], axis=0)
         return up, dn
 
+    def nbr(up, dn, lf, rt, masks):
+        if masks is not None:
+            i_lo, i_hi, j_lo, j_hi = masks
+            up = jnp.where(i_lo, 0.0, up)
+            dn = jnp.where(i_hi, 0.0, dn)
+            lf = jnp.where(j_lo, 0.0, lf)
+            rt = jnp.where(j_hi, 0.0, rt)
+        return ((up + dn) + lf) + rt
+
     pE = jnp.zeros((rows, wwp), f32)
     pO = jnp.zeros((rows, wwp), f32)
     for half in range(2 * iters):
@@ -161,14 +195,14 @@ def packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega):
             up, dn = vsh(pO)
             lf = jnp.where(a0, rsh(pO), pO)
             rt = jnp.where(a0, pO, lsh(pO))
-            nb = ((up + dn) + lf) + rt
+            nb = nbr(up, dn, lf, rt, mE if member is not None else None)
             p_new = one_m_w * pE + wgt * (neg_invE * (dE - nb))
             pE = jnp.where(in_domE, p_new, 0.0)
         else:
             up, dn = vsh(pE)
             lf = jnp.where(a0, pE, rsh(pE))
             rt = jnp.where(a0, lsh(pE), pE)
-            nb = ((up + dn) + lf) + rt
+            nb = nbr(up, dn, lf, rt, mO if member is not None else None)
             p_new = one_m_w * pO + wgt * (neg_invO * (dO - nb))
             pO = jnp.where(in_domO, p_new, 0.0)
 

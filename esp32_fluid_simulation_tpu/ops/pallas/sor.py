@@ -42,7 +42,8 @@ from .tiling import pick_tile
 
 
 def _sor_kernel(goff_ref, d_hbm, out_ref, dwin_vmem, sem,
-                *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh, bw):
+                *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh, bw,
+                member=None):
     r = pl.program_id(0)
     c = pl.program_id(1)
     row0 = r * tile_h
@@ -79,19 +80,22 @@ def _sor_kernel(goff_ref, d_hbm, out_ref, dwin_vmem, sem,
     # variable Neumann diagonal (poisson.cpp:67-89) is built inside
     gi0 = (row0 - pr) + goff_ref[0, 0]
     gj0 = (col0 - pc) + goff_ref[0, 1]
-    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega)
+    p = packed_rb_solve_full(dxd, gi0, gj0, h, w, in_dom, iters, omega,
+                             member=member)
 
     out_ref[:, :] = p[pr:pr + tile_h, pc:pc + tile_w].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dx", "iters", "omega", "tile_h",
-                                    "tile_w", "global_shape", "halo"))
+                                    "tile_w", "global_shape", "halo",
+                                    "member"))
 def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
                      omega: float = 1.96, tile_h: int | None = None,
                      tile_w: int | None = None,
                      global_offset: jax.Array | None = None,
-                     global_shape=None, halo: int = 0) -> jax.Array:
+                     global_shape=None, halo: int = 0,
+                     member=None) -> jax.Array:
     """Drop-in replacement for ``ops.poisson.sor_solve`` on large 2D grids.
 
     Block mode (the ``shard_map`` path): when ``global_offset`` — a traced
@@ -132,7 +136,8 @@ def sor_solve_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
 
     kernel = functools.partial(
         _sor_kernel, iters=iters, omega=omega, dx=dx,
-        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw)
+        tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw,
+        member=member)
 
     out = pl.pallas_call(
         kernel,

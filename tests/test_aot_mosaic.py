@@ -44,8 +44,12 @@ def test_sor_kernel_compiles(tpu_sharding):
 def test_project_kernel_compiles(tpu_sharding):
     from esp32_fluid_simulation_tpu.ops.pallas.project import (
         project_fused_pallas)
+    # 1024^2: the whole width is one tile — this shape caught a scoped-vmem
+    # OOM (16.41M > 16M) when the auto tile picker chose tile_h=256
     jax.jit(lambda v: project_fused_pallas(v, 1.0, 10, 1.96)).lower(
         _sds(tpu_sharding, (2, 1024, 1024))).compile()
+    jax.jit(lambda v: project_fused_pallas(v, 1.0, 10, 1.96)).lower(
+        _sds(tpu_sharding, (2, 4097, 4097))).compile()
 
 
 def test_render_kernel_compiles(tpu_sharding):

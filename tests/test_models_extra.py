@@ -109,3 +109,56 @@ def test_checked_step_localizes_nan():
                    color=st.color, step=st.step)
     err2, _ = fn(bad, Impulses.none(cfg))
     assert err2.get() is not None and "nan" in str(err2.get()).lower()
+
+
+def test_tiled_domain_matches_vmapped_members():
+    """domain_tile supergrid (jnp fallback) == independently stepped member
+    sims: members must not leak into each other through any stencil."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from esp32_fluid_simulation_tpu import (SimConfig, Impulses, init_state,
+                                            make_step)
+    from esp32_fluid_simulation_tpu.models.stable_fluids import _to_members
+
+    member = SimConfig(shape=(24, 40), sor_iters=4)
+    cfg = dataclasses.replace(member, shape=(48, 80), domain_tile=(24, 40))
+    # distinct impulses per member (one global impulse list; positions offset)
+    imp = Impulses.from_lists(
+        cfg,
+        [(10, 12), (10 + 24, 12), (12, 12 + 40), (30, 50)],
+        [(90.0, -45.0), (-60.0, 120.0), (50.0, 80.0), (-70.0, -30.0)])
+
+    st = init_state(cfg)
+    fn = make_step(cfg, donate=False)
+    for t in range(3):
+        st = fn(st, imp if t == 0 else Impulses.none(cfg))
+
+    # oracle: each member stepped as its own sim
+    fnm = make_step(member, donate=False)
+    outs_v, outs_c = [], []
+    member_imps = [
+        [((10, 12), (90.0, -45.0))],
+        [((12, 12), (50.0, 80.0))],
+        [((10, 12), (-60.0, 120.0))],
+        [((6, 10), (-70.0, -30.0))],
+    ]
+    st0 = init_state(member)
+    for m in range(4):
+        s = st0
+        mi = Impulses.from_lists(member, [p for p, _ in member_imps[m]],
+                                 [v for _, v in member_imps[m]])
+        for t in range(3):
+            s = fnm(s, mi if t == 0 else Impulses.none(member))
+        outs_v.append(s.velocity)
+        outs_c.append(s.color)
+
+    got_v = _to_members(st.velocity, 24, 40)
+    got_c = _to_members(st.color, 24, 40)
+    for m in range(4):
+        np.testing.assert_allclose(np.asarray(got_v[m]),
+                                   np.asarray(outs_v[m]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_c[m]),
+                                   np.asarray(outs_c[m]),
+                                   rtol=1e-5, atol=1e-5)

@@ -183,3 +183,45 @@ def test_advect_maccormack_pallas_matches_jnp(rng):
         got = advect_maccormack_pallas(f, v, 1 / 30., no_slip, max_disp=12)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=2e-5)
+
+
+def test_tiled_domain_kernel_matches_fallback(rng):
+    """Tiled-domain (config 4) kernels: member-local clamps/no-slip in the
+    advect kernel + member-modular BCs in the fused projection == the
+    vmapped-member jnp fallback."""
+    import dataclasses
+    from esp32_fluid_simulation_tpu import (SimConfig, Impulses, init_state,
+                                            make_step)
+    kcfg = SimConfig(shape=(64, 256), domain_tile=(32, 128), sor_iters=4,
+                     solver="fused_pallas", advect_impl="pallas",
+                     advect_max_disp=8)
+    ref = dataclasses.replace(kcfg, solver="sor", advect_impl="jnp")
+    imp = Impulses.from_lists(
+        kcfg,
+        [(10, 30), (40, 30), (16, 200), (50, 180)],
+        [(120.0, -60.0), (-90.0, 100.0), (60.0, 110.0), (-50.0, -80.0)])
+
+    # force the kernel path despite the CPU test backend
+    import esp32_fluid_simulation_tpu.models.stable_fluids as M
+    orig = M._use_pallas_advect
+    M._use_pallas_advect = lambda cfg: (cfg.advect_impl == "pallas"
+                                        and cfg.ndim == 2)
+    try:
+        st_k = init_state(kcfg)
+        fnk = make_step(kcfg, donate=False)
+        for t in range(3):
+            st_k = fnk(st_k, imp if t == 0 else Impulses.none(kcfg))
+    finally:
+        M._use_pallas_advect = orig
+
+    st_r = init_state(ref)
+    fnr = make_step(ref, donate=False)
+    for t in range(3):
+        st_r = fnr(st_r, imp if t == 0 else Impulses.none(ref))
+
+    np.testing.assert_allclose(np.asarray(st_k.velocity),
+                               np.asarray(st_r.velocity),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_k.color),
+                               np.asarray(st_r.color),
+                               rtol=1e-4, atol=1e-4)
