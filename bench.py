@@ -39,19 +39,22 @@ print(json.dumps({"ms_per_step_1024": (time.time() - t0) / 4 * 1e3}))
 """
 
 
-def probe_pallas_path(timeout_s: int = 600):
+def probe_pallas_path(timeout_s: int = 900, attempts: int = 2):
     """Compile+run the Pallas-kernel step in a subprocess (the Mosaic
     compile service can wedge; a hung probe must not hang the bench).
-    Returns the probe dict or None."""
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC], capture_output=True,
-            text=True, timeout=timeout_s,
-            cwd=__file__.rsplit("/", 1)[0] or ".")
-        if out.returncode == 0:
-            return json.loads(out.stdout.strip().splitlines()[-1])
-    except (subprocess.TimeoutExpired, Exception):
-        pass
+    Retried once: a cold remote-compile service can blow the first
+    attempt's budget while still populating its cache.  Returns the probe
+    dict or None."""
+    for _ in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC], capture_output=True,
+                text=True, timeout=timeout_s,
+                cwd=__file__.rsplit("/", 1)[0] or ".")
+            if out.returncode == 0:
+                return json.loads(out.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, Exception):
+            pass
     return None
 
 
@@ -250,6 +253,7 @@ def main():
         n_members=4 if smoke else 256,
         shape=(64, 64) if smoke else (256, 256), n=3 if smoke else 10,
         kernel=use_pallas)
+    results["ensemble_tiled_path"] = 1.0 if use_pallas else 0.0
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)
