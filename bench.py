@@ -124,6 +124,25 @@ def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
     return 1.0 / max((tn - t1) / (n - 1), 1e-9)
 
 
+def bench_ref_scan_steps(n=300):
+    """Reference-grid steps/sec via the scan-compiled multi-step runner."""
+    import time as _t
+    from esp32_fluid_simulation_tpu import (SimConfig, init_state,
+                                            make_multi_step, stack_schedule)
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+    cfg = SimConfig()
+    sched = stack_schedule([scripted_swirl(cfg, t) for t in range(n)])
+    fn = make_multi_step(cfg, donate=False)
+    st0 = init_state(cfg)
+    _sync(fn(st0, sched))   # compile
+    t0 = _t.time()
+    st = st0
+    for _ in range(3):
+        st = fn(st, sched)
+    _sync(st)
+    return 3 * n / max(_t.time() - t0, 1e-9)
+
+
 def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
                                kernel=True):
     """BASELINE config 4 on the tiled-domain supergrid (SimConfig
@@ -202,6 +221,11 @@ def main():
     ref_cfg = SimConfig()
     results["ref_80x60_fps"] = bench_step_fps(ref_cfg, n=n_ref, render=True,
                                               render_s=4)
+    # Same workload as one scan-compiled rollout (schedule uploaded once):
+    # removes the per-step host dispatch + impulse upload that dominates the
+    # tiny grid through the tunnel.
+    results["ref_80x60_scan_steps_per_s"] = bench_ref_scan_steps(
+        n=20 if smoke else 300)
 
     # Probe the Pallas kernel path in a subprocess; pick the faster path for
     # the headline (the kernels are the intended production path, but the

@@ -4,6 +4,8 @@ from .stable_fluids import (
     step,
     make_step,
     make_step_with_metrics,
+    make_multi_step,
+    stack_schedule,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "step",
     "make_step",
     "make_step_with_metrics",
+    "make_multi_step",
+    "stack_schedule",
 ]

@@ -283,3 +283,24 @@ def make_step(cfg: SimConfig, donate: bool = True):
 def make_step_with_metrics(cfg: SimConfig, donate: bool = True):
     fn = functools.partial(step_with_metrics, cfg=cfg)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(cfg: SimConfig, donate: bool = True):
+    """scan-compiled multi-step runner: ``run(state, schedule) -> state``
+    advances the sim by ``n`` steps in ONE device program, where
+    ``schedule`` is an ``Impulses`` pytree with a leading ``[n]`` axis (the
+    whole drag schedule uploaded once).  On small grids this removes the
+    per-step host dispatch + impulse upload that otherwise dominates (the
+    61x81 reference workload is latency-bound through the tunnel); it is
+    also the serving shape for batch rollouts."""
+    def run(state: SimState, schedule: Impulses) -> SimState:
+        out, _ = jax.lax.scan(
+            lambda st, imp: (step(st, imp, cfg), None), state, schedule)
+        return out
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
+def stack_schedule(imps) -> Impulses:
+    """[Impulses, ...] (one per step) -> scan schedule with leading [n]."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *imps)

@@ -166,3 +166,26 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert cfg2 == cfg
     np.testing.assert_array_equal(np.asarray(state.color),
                                   np.asarray(state2.color))
+
+
+def test_multi_step_scan_matches_sequential():
+    """make_multi_step (lax.scan runner) == stepping one frame at a time."""
+    from esp32_fluid_simulation_tpu import (SimConfig, Impulses, init_state,
+                                            make_step, make_multi_step,
+                                            stack_schedule)
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+    cfg = SimConfig(shape=(33, 49), sor_iters=4)
+    imps = [scripted_swirl(cfg, t, speed=120.0) for t in range(5)]
+
+    st_a = init_state(cfg)
+    fn = make_step(cfg, donate=False)
+    for imp in imps:
+        st_a = fn(st_a, imp)
+
+    st_b = make_multi_step(cfg, donate=False)(init_state(cfg),
+                                              stack_schedule(imps))
+    np.testing.assert_array_equal(np.asarray(st_a.velocity),
+                                  np.asarray(st_b.velocity))
+    np.testing.assert_array_equal(np.asarray(st_a.color),
+                                  np.asarray(st_b.color))
+    assert int(st_b.step) == 5
