@@ -124,6 +124,26 @@ def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
     return 1.0 / max((tn - t1) / (n - 1), 1e-9)
 
 
+def bench_smoke3d_steps(shape=(256, 256, 256), n=6):
+    """BASELINE config 5 (3D half): smoke plume steps/sec on one chip."""
+    from esp32_fluid_simulation_tpu.models.smoke3d import (
+        SmokeConfig, init_smoke, make_smoke_step)
+    cfg = SmokeConfig(shape=shape, solver="sor", sor_iters=6)
+    st = init_smoke(cfg)
+    fn = make_smoke_step(cfg, donate=False)
+    for _ in range(2):
+        st = fn(st)   # compile + spin up the plume
+
+    def one(s):
+        return fn(s)
+
+    _sync(st)
+    t1 = _time_chain(one, st, 1)
+    tn = _time_chain(one, st, n)
+    per = (tn - t1) / (n - 1) if tn > t1 else tn / n
+    return 1.0 / max(per, 1e-9)
+
+
 def bench_ref_scan_steps(n=300):
     """Reference-grid steps/sec via the scan-compiled multi-step runner."""
     import time as _t
@@ -281,6 +301,12 @@ def main():
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)
+
+    # Config 5's 3D half on one chip: 256^3 smoke plume step (the sharded
+    # variant is CPU-mesh-tested; one chip is what this machine has).
+    if use_pallas and not smoke:
+        results["smoke3d_256_steps_per_s"] = bench_smoke3d_steps(
+            shape=(256, 256, 256), n=6)
 
     out = {
         "metric": "sim+render FPS at 4096^2 (one chip)",

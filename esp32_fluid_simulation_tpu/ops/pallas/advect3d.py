@@ -40,9 +40,9 @@ def _bitcast_f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _advect3d_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem, *,
-                     dt, max_disp, tile_d, tile_h, tile_w, pz, pr, d, h, w,
-                     no_slip, pack):
+def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
+                     acc_vmem, sem, *, dt, max_disp, tile_d, tile_h, tile_w,
+                     pz, pr, d, h, w, bh, no_slip, pack):
     """One (plane-tile, row-tile, col-tile) program; all channels.
 
     src_vmem: (c, tile_d + 2*pz, tile_h + 2*pr, tile_w + 2*_LH);
@@ -68,8 +68,11 @@ def _advect3d_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem, *,
     f32 = jnp.float32
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
     j_loc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    i_glob = (i_loc + row0).astype(f32)
-    j_glob = (j_loc + col0).astype(f32)
+    # block-local + (traced) block offset — zero single-chip, shard origin
+    # under shard_map (the vertical axis stays shard-local)
+    i_glob = (i_loc + row0 + goff_ref[0, 0]).astype(f32)
+    j_glob = (j_loc + col0 + goff_ref[0, 1]).astype(f32)
+    i_blk = (i_loc + row0).astype(f32)
 
     for dz in range(tile_d):
         zg = z0 + dz
@@ -97,9 +100,10 @@ def _advect3d_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem, *,
 
         rel_z = (z0f - zf).astype(jnp.int32)
         rel_i = (i0 - i_glob).astype(jnp.int32)
-        lj = (j0 - f32(col0 - _LH)).astype(jnp.int32)
+        lj = (j0 - goff_ref[0, 1].astype(f32)
+              - f32(col0 - _LH)).astype(jnp.int32)
 
-        row_valid = (i_glob <= f32(h - 1))
+        row_valid = (i_glob <= f32(h - 1)) & (i_blk <= f32(bh - 1))
         masked_rz = jnp.where(row_valid, rel_z, 0)
         masked_ri = jnp.where(row_valid, rel_i, 0)
         # tile-wide z-shift range (vertical velocity is smooth over a tile)
@@ -217,44 +221,77 @@ def _advect3d_kernel(vel_ref, field_hbm, out_ref, src_vmem, acc_vmem, sem, *,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_d", "tile_h",
-                     "tile_w"))
+                     "tile_w", "global_shape", "halo"))
 def advect3d_pallas(field: jax.Array, vel: jax.Array, dt: float,
                     no_slip: bool, max_disp: int = 4, tile_d: int = 2,
-                    tile_h: int = 32, tile_w: int = 1024):
+                    tile_h: int = 32, tile_w: int = 1024,
+                    global_offset: jax.Array | None = None,
+                    global_shape=None, halo: int = 0):
     """Drop-in replacement for ``ops.advect.advect`` on large 3D grids.
 
     field: ``[D, H, W]`` or ``[C, D, H, W]``; vel: ``[3, D, H, W]``.
     Displacements are clamped to ``max_disp`` cells per axis (CFL clamp).
+
+    Block mode (the ``shard_map`` path): when ``global_offset`` — a traced
+    ``(2,)`` int32 array of (row, col) shard origins — is given, ``field``
+    is one shard's local block with ``halo >= max_disp + 1`` exchanged
+    ghost cells on the two horizontal axes (the vertical axis stays
+    shard-local), and ``global_shape`` is the full (D, H, W) extent for the
+    boundary clamps.
     """
     if max_disp > _LH - 2:
         raise ValueError(f"max_disp={max_disp} exceeds the 2-panel gather "
                          f"band (max_disp <= {_LH - 2})")
+    block_mode = global_offset is not None
+    if block_mode and halo < max_disp + 1:
+        raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
+                         f"({halo} < {max_disp + 1})")
     squeeze = field.ndim == 3
     if squeeze:
         field = field[None]
-    c, d, h, w = field.shape
+    c = field.shape[0]
+    if block_mode:
+        d = field.shape[1]
+        bh, bw = field.shape[2] - 2 * halo, field.shape[3] - 2 * halo
+        dg, h, w = global_shape
+        if dg != d:
+            raise ValueError("the vertical axis must be shard-local "
+                             f"(field D={d} != global D={dg})")
+    else:
+        _, d, bh, bw = field.shape
+        h, w = bh, bw
+        halo = 0
     pz = max_disp + 1                        # leading dim: no alignment
     pr = pl.cdiv(max_disp + 1, 8) * 8
+    if halo > min(pr, _LH):
+        raise ValueError(f"halo={halo} exceeds the aligned kernel halo "
+                         f"(pr={pr}, lane halo {_LH})")
     td = min(tile_d, d)
-    th = min(tile_h, pl.cdiv(h, 8) * 8)
-    tw = min(tile_w, pl.cdiv(w, 128) * 128)
+    th = min(tile_h, pl.cdiv(bh, 8) * 8)
+    tw = min(tile_w, pl.cdiv(bw, 128) * 128)
     dp = pl.cdiv(d, td) * td
-    hp = pl.cdiv(h, th) * th
-    wp = pl.cdiv(w, tw) * tw
+    hp = pl.cdiv(bh, th) * th
+    wp = pl.cdiv(bw, tw) * tw
+    goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
+            else global_offset.astype(jnp.int32).reshape(1, 2))
 
     fpad = jnp.pad(field, ((0, 0), (pz, pz + dp - d),
-                           (pr, pr + hp - h), (_LH, _LH + wp - w)))
-    vpad = jnp.pad(vel, ((0, 0), (0, dp - d), (0, hp - h), (0, wp - w)))
+                           (pr - halo, pr - halo + hp - bh),
+                           (_LH - halo, _LH - halo + wp - bw)))
+    vpad = jnp.pad(vel, ((0, 0), (0, dp - d), (0, hp - bh), (0, wp - bw)))
     pack = field.dtype == jnp.bfloat16
 
     kernel = functools.partial(
         _advect3d_kernel, dt=dt, max_disp=max_disp, tile_d=td, tile_h=th,
-        tile_w=tw, pz=pz, pr=pr, d=d, h=h, w=w, no_slip=no_slip, pack=pack)
+        tile_w=tw, pz=pz, pr=pr, d=d, h=h, w=w, bh=bh, no_slip=no_slip,
+        pack=pack)
 
     out = pl.pallas_call(
         kernel,
         grid=(dp // td, hp // th, wp // tw),
         in_specs=[
+            pl.BlockSpec((1, 2), lambda z, r, cl: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, td, th, tw), lambda z, r, cl: (0, z, r, cl),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -268,7 +305,7 @@ def advect3d_pallas(field: jax.Array, vel: jax.Array, dt: float,
             pltpu.VMEM((c * th, tw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(vpad, fpad)
+    )(goff, vpad, fpad)
 
-    out = out[:, :d, :h, :w]
+    out = out[:, :d, :bh, :bw]
     return out[0] if squeeze else out

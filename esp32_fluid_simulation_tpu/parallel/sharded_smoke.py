@@ -42,6 +42,9 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
     if H % nx or W % ny:
         raise ValueError(f"grid {cfg.shape} not divisible by mesh ({nx},{ny})")
     lh, lw = H // nx, W // ny
+    # kernel path: each shard runs the 3D gather kernel on its local block
+    # + exchanged horizontal halos (ops/pallas/advect3d block mode)
+    use_kernel_advect = cfg.advect_impl == "pallas"
     k = max_disp + 1
     dt, dx = cfg.dt, cfg.dx
     f32 = jnp.float32
@@ -62,6 +65,12 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
 
     def advect_local(field, vel, zz, ii, jj, ox, oy, no_slip):
         fpad = _exchange2(field, k)
+        if use_kernel_advect:
+            from ..ops.pallas.advect3d import advect3d_pallas
+            goff = jnp.stack([ox, oy]).astype(jnp.int32)
+            return advect3d_pallas(fpad, vel, dt, no_slip, max_disp=max_disp,
+                                   global_offset=goff,
+                                   global_shape=(D, H, W), halo=k)
         gz = zz.astype(f32)
         gi = ii.astype(f32)
         gj = jj.astype(f32)
