@@ -162,3 +162,38 @@ def test_tiled_domain_matches_vmapped_members():
         np.testing.assert_allclose(np.asarray(got_c[m]),
                                    np.asarray(outs_c[m]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_ensemble_helpers():
+    """tiled_ensemble_config factorization + member impulse offsetting."""
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        tiled_ensemble_config, tiled_member_impulses)
+    member = SimConfig(shape=(24, 40), sor_iters=4)
+    cfg, gh, gw = tiled_ensemble_config(member, 6, solver="sor")
+    assert gh * gw == 6 and cfg.shape == (gh * 24, gw * 40)
+    assert cfg.domain_tile == (24, 40)
+
+    imp = tiled_member_impulses(
+        cfg, member, gh, gw,
+        [([(1, 2)], [(10.0, 20.0)])] + [([], [])] * 5)
+    # member 0's (1, 2) stays at (1, 2); only one active slot
+    assert int(imp.active.sum()) == 1
+    assert tuple(np.asarray(imp.pos[0])) == (1, 2)
+
+    imp2 = tiled_member_impulses(
+        cfg, member, gh, gw,
+        [([], [])] * 5 + [([(3, 4)], [(1.0, 2.0)])])
+    oi, oj = (5 // gw) * 24, (5 % gw) * 40
+    assert tuple(np.asarray(imp2.pos[0])) == (oi + 3, oj + 4)
+
+
+def test_pick_tile_properties():
+    from esp32_fluid_simulation_tpu.ops.pallas.tiling import pick_tile
+    for n in (61, 200, 1024, 4096, 4097, 8192):
+        t = pick_tile(n, 24, 8, 256)
+        assert t % 8 == 0 and 8 <= t <= 256
+        # never worse than the naive max tile
+        naive = min(256, -(-n // 8) * 8)
+        cost = (-(-n // t)) * (t + 48)
+        cost_naive = (-(-n // naive)) * (naive + 48)
+        assert cost <= cost_naive
