@@ -44,6 +44,8 @@ def run_2d(args):
     cfg = SimConfig(shape=(h, w), scaling=args.scaling)
     state = init_state(cfg)
     step = make_step(cfg)
+    print(f"compiling the {h}x{w} step (remote compile can take minutes "
+          f"on a cold service)...", flush=True)
     frames = []
     for t in range(args.frames):
         state = step(state, scripted_swirl(cfg, t, speed=args.speed))
@@ -52,6 +54,8 @@ def run_2d(args):
                                                      s=cfg.scaling)), 0, -1)
             frames.append(img)
             save_ppm(os.path.join(args.out, f"frame_{t:05d}.ppm"), img)
+            if t == 0:
+                print("first frame written (compile done)", flush=True)
     gif = maybe_gif(args.out, frames)
     print(f"wrote {len(frames)} frames to {args.out}"
           + (f" (+ {gif})" if gif else ""))
