@@ -58,7 +58,10 @@ def pack_rgb565(rgb: jax.Array, bswap: bool = True) -> jax.Array:
     (``.ino:173``), the SPI byte order of the LCD path.
     """
     def chan(c, bits):
-        q = jnp.floor(c.astype(jnp.float32) * (1 << bits)).astype(jnp.int32)
+        # cast-then-clip is result-identical to the reference's
+        # floor-then-clip for every finite input (truncation vs floor only
+        # differ on negatives, which clip to 0 either way)
+        q = (c.astype(jnp.float32) * (1 << bits)).astype(jnp.int32)
         return jnp.clip(q, 0, (1 << bits) - 1)
 
     r = chan(rgb[0], 5)

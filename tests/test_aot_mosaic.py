@@ -55,10 +55,15 @@ def test_project_kernel_compiles(tpu_sharding):
 def test_render_kernel_compiles(tpu_sharding):
     from esp32_fluid_simulation_tpu.render.pallas_upscale import (
         render_rgb565_pallas)
-    jax.jit(lambda c: render_rgb565_pallas(c, 4)).lower(
-        _sds(tpu_sharding, (3, 257, 257))).compile()
-    jax.jit(lambda c: render_rgb565_pallas(c, 4)).lower(
-        _sds(tpu_sharding, (3, 61, 81))).compile()
+    for impl in ("planes", "transpose"):
+        # padded path (odd + tiny shapes) and clamped pad-free path
+        jax.jit(lambda c: render_rgb565_pallas(c, 4, impl=impl)).lower(
+            _sds(tpu_sharding, (3, 257, 257))).compile()
+        jax.jit(lambda c: render_rgb565_pallas(c, 4, impl=impl)).lower(
+            _sds(tpu_sharding, (3, 61, 81))).compile()
+        jax.jit(lambda c: render_rgb565_pallas(
+            c, 4, tile_h=64, tile_w=512, impl=impl)).lower(
+            _sds(tpu_sharding, (3, 1025, 1025))).compile()
 
 
 def test_advect3d_kernel_compiles(tpu_sharding):

@@ -121,15 +121,30 @@ def test_step_with_fused_projection(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["planes", "transpose"])
 @pytest.mark.parametrize("shape,s", [((61, 81), 4), ((33, 130), 4),
                                      ((17, 129), 2)])
-def test_render_pallas_bit_exact(rng, shape, s):
+def test_render_pallas_bit_exact(rng, shape, s, impl):
     from esp32_fluid_simulation_tpu.render.pallas_upscale import (
         render_rgb565_pallas)
     from esp32_fluid_simulation_tpu.render import render_rgb565
     c = jnp.asarray(rng.random((3,) + shape, dtype=F))
     a = np.asarray(render_rgb565(c, s=s))
-    b = np.asarray(render_rgb565_pallas(c, s=s, tile_h=16, tile_w=128))
+    b = np.asarray(render_rgb565_pallas(c, s=s, tile_h=16, tile_w=128,
+                                        impl=impl))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("impl", ["planes", "transpose"])
+def test_render_pallas_multi_tile(rng, impl):
+    """Larger grid spanning several (64, 512) tiles."""
+    from esp32_fluid_simulation_tpu.render.pallas_upscale import (
+        render_rgb565_pallas)
+    from esp32_fluid_simulation_tpu.render import render_rgb565
+    c = jnp.asarray(rng.random((3, 129, 1025), dtype=F))
+    a = np.asarray(render_rgb565(c, s=4))
+    b = np.asarray(render_rgb565_pallas(c, s=4, tile_h=64, tile_w=512,
+                                        impl=impl))
     np.testing.assert_array_equal(a, b)
 
 
