@@ -156,13 +156,18 @@ def _from_members(x: jax.Array, H: int, W: int) -> jax.Array:
 
 
 def _step_tiled(state: SimState, impulses: Impulses,
-                cfg: SimConfig) -> SimState:
+                cfg: SimConfig, apply_fn=None) -> SimState:
     """Tiled-domain step (BASELINE config 4 at kernel speed): one supergrid
     of independent member domains.  The kernels evaluate every boundary
     condition per (mh, mw) member tile; the jnp fallback vmaps the member
-    ops over a reshaped batch (also the parity oracle)."""
+    ops over a reshaped batch (also the parity oracle).
+
+    ``apply_fn(vel) -> vel`` overrides the impulse application (the
+    auto-tiled ensemble path injects per-member batched impulses there)."""
     mh, mw = cfg.domain_tile
     H, W = cfg.shape
+    if apply_fn is None:
+        apply_fn = lambda v: apply_impulses(v, impulses)  # noqa: E731
     use_kernel = (cfg.solver == "fused_pallas" and _use_pallas_advect(cfg))
     if use_kernel:
         from ..ops.pallas.advect import advect_pallas
@@ -175,7 +180,7 @@ def _step_tiled(state: SimState, impulses: Impulses,
                                  member=(mh, mw), sample_bf16=bf16)
 
         vel = adv(state.velocity, state.velocity, True)
-        vel = apply_impulses(vel, impulses)
+        vel = apply_fn(vel)
         vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
                                       member=(mh, mw))
         color = adv(state.color, vel, False)
@@ -196,7 +201,7 @@ def _step_tiled(state: SimState, impulses: Impulses,
     vel_m = _to_members(state.velocity, mh, mw)
     vel_m = jax.vmap(lambda v: advect(v, v, cfg.dt, no_slip=True))(vel_m)
     vel = _from_members(vel_m, H, W)
-    vel = apply_impulses(vel, impulses)
+    vel = apply_fn(vel)
     vel_m = jax.vmap(project_m)(_to_members(vel, mh, mw))
     col_m = jax.vmap(lambda f, v: advect(f, v, cfg.dt, no_slip=False))(
         _to_members(state.color, mh, mw), vel_m)

@@ -547,6 +547,12 @@ def advect_maccormack_pallas(field: jax.Array, vel: jax.Array, dt: float,
     gathers: forward predictor with in-kernel stencil extrema, backward
     corrector (= forward advection through ``-vel``), monotonic clamp.
     Displacements are CFL-clamped to ``max_disp`` like the semilag kernel."""
+    if "global_offset" in kw or "halo" in kw:
+        # phi_hat comes back without ghost cells, so feeding it to the
+        # backward pass as a haloed block would silently misread — the
+        # sharded MacCormack path lives in parallel/sharded.py instead
+        raise ValueError("advect_maccormack_pallas is single-device only; "
+                         "block-mode kwargs are not supported")
     phi_hat, cmin, cmax = advect_pallas(field, vel, dt, no_slip,
                                         max_disp=max_disp,
                                         return_minmax=True, **kw)

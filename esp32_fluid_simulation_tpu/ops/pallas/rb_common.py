@@ -43,9 +43,11 @@ def _row_parity(rows, width, base):
     return (_iota2((rows, width), 0) + base) % 2
 
 
-def deinterleave_parity(x, base):
+def deinterleave_parity(x, base, rowpar=None):
     """(E, O) with ``E[i, m] = x[i, 2m + a(i)]``, ``O[i, m] = x[i, 2m+1-a(i)]``
-    where ``a(i) = (i + base) % 2`` (``base``: traced scalar).
+    where ``a(i) = (i + base) % 2`` (``base``: traced scalar), or ``a(i) =
+    rowpar[i]`` when a (rows, 128) per-row parity array is given (the 3D
+    fold, where parity is not affine in the folded row index).
 
     x: (rows, ww) with ww a multiple of 128.  Output width is ``ww//2``
     rounded up to a 128-lane panel; tail lanes gather nothing and read 0.
@@ -57,7 +59,8 @@ def deinterleave_parity(x, base):
     for off_sel in (0, 1):   # 0 -> E, 1 -> O
         panels = []
         for po in range(wwp // LANE):
-            a = _row_parity(rows, LANE, base)
+            a = (_row_parity(rows, LANE, base) if rowpar is None
+                 else rowpar)
             off = a if off_sel == 0 else 1 - a
             lane = _iota2((rows, LANE), 1)
             j = 2 * (po * LANE + lane) + off        # full-width column
@@ -74,9 +77,9 @@ def deinterleave_parity(x, base):
     return outs[0], outs[1]
 
 
-def interleave_parity(e, o, base, ww):
+def interleave_parity(e, o, base, ww, rowpar=None):
     """Inverse of ``deinterleave_parity``: full[i, j] comes from E where
-    ``(i + j + base) % 2 == 0``, else O; both live at packed column j//2."""
+    ``(a(i) + j) % 2 == 0``, else O; both live at packed column j//2."""
     rows = e.shape[0]
     panels = []
     for po in range(ww // LANE):
@@ -88,7 +91,8 @@ def interleave_parity(e, o, base, ww):
         go = jnp.take_along_axis(o[:, src * LANE:(src + 1) * LANE], idx,
                                  axis=1)
         j_full = po * LANE + lane
-        even = ((_iota2((rows, LANE), 0) + j_full + base) % 2) == 0
+        rp = (_iota2((rows, LANE), 0) + base) if rowpar is None else rowpar
+        even = ((rp + j_full) % 2) == 0
         panels.append(jnp.where(even, ge, go))
     return jnp.concatenate(panels, axis=1) if len(panels) > 1 else panels[0]
 

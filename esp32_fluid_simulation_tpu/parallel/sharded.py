@@ -547,9 +547,9 @@ def make_sharded_step_with_metrics(cfg: SimConfig, mesh: Mesh,
 
 def make_sharded_render(cfg: SimConfig, mesh: Mesh):
     """Sharded upscale+RGB565: each shard upscales its block using a 1-node
-    edge halo; output stays device-sharded as ``[H*s, W*s]`` — crop the last
-    ``s`` row/col block (the reference's lerp endpoints, ``.ino:115``) after
-    (or during) fetch."""
+    edge halo; the lerp-endpoint row/col (the reference's ``.ino:115``) is
+    cropped on device so the output matches the single-device render
+    contract: ``[(H-1)*s, (W-1)*s]`` uint16, device-sharded."""
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -568,4 +568,4 @@ def make_sharded_render(cfg: SimConfig, mesh: Mesh):
         out_specs=P(X_AXIS, Y_AXIS),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return jax.jit(lambda color: fn(color)[:(H - 1) * s, :(W - 1) * s])

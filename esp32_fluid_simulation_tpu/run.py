@@ -112,7 +112,7 @@ def main(argv=None):
     if args.watchdog and args.metrics:
         raise SystemExit("--watchdog and --metrics are mutually exclusive "
                          "(the guarded step does not produce metrics)")
-    if args.ensemble > 1:
+    if args.ensemble >= 1:  # --ensemble 1 is a 1-member ensemble, not a no-op
         if args.resume or args.watchdog or args.metrics or args.dump_fields \
                 or args.checkpoint_every:
             raise SystemExit("--ensemble runs the batched step only (no "

@@ -6,7 +6,7 @@ equivalent: an on-device finiteness check fused into the step, with
 ``lax.cond``-style recovery to the initial state on divergence — the
 structural analogue of a supervisor restarting a crashed task.  Fault
 injection (salting the state with NaN/Inf) is exercised in
-``tests/test_watchdog.py``.
+``tests/test_model.py::test_watchdog_detects_and_resets``.
 """
 
 from __future__ import annotations

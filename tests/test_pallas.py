@@ -148,6 +148,53 @@ def test_render_pallas_multi_tile(rng, impl):
     np.testing.assert_array_equal(a, b)
 
 
+def test_advect_pallas_bf16_pack_bit_equal(rng):
+    """The packed-pair bf16 gather (pack=True, auto for bf16 fields) is
+    bit-identical to the unpacked gathers (tilewide variant) — the f32
+    widening of bf16 carries the bf16 bits exactly.  Also covers
+    pack+return_minmax (production: bf16 dye + MacCormack) and the lossy
+    sample_bf16 opt-in on f32 fields (ADVICE r2)."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import (
+        advect_pallas, advect_maccormack_pallas)
+    shape = (96, 200)
+    f32 = jnp.asarray(rng.random(shape, dtype=F))
+    fb = f32.astype(jnp.bfloat16)
+    v = jnp.asarray(np.clip(60 * rng.standard_normal((2,) + shape),
+                            -300, 300).astype(F))
+    packed = advect_pallas(fb, v, 1 / 30., False, max_disp=12)
+    unpacked = advect_pallas(fb, v, 1 / 30., False, max_disp=12,
+                             variant="tilewide")
+    np.testing.assert_array_equal(
+        np.asarray(packed, np.float32), np.asarray(unpacked, np.float32))
+    # pack + return_minmax: vs the jnp minmax reference
+    out, mn, mx = advect_pallas(fb, v, 1 / 30., False, max_disp=12,
+                                return_minmax=True)
+    from esp32_fluid_simulation_tpu.ops.advect import (
+        sample_linear, _backtrace_coords, advect_maccormack)
+    want, wmn, wmx = sample_linear(
+        fb, _backtrace_coords(v.astype(F), 1 / 30.), no_slip=False,
+        return_minmax=True)
+    np.testing.assert_allclose(np.asarray(mn, np.float32),
+                               np.asarray(wmn, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(mx, np.float32),
+                               np.asarray(wmx, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # MacCormack through the packed path stays close to the jnp version
+    mc = advect_maccormack_pallas(fb, v, 1 / 30., False, max_disp=12)
+    mc_ref = advect_maccormack(fb, v, 1 / 30., False)
+    np.testing.assert_allclose(np.asarray(mc, np.float32),
+                               np.asarray(mc_ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    # sample_bf16 on an f32 field == advecting the bf16-rounded field with
+    # f32 math/output (the kernel keeps f32 accumulation and output dtype)
+    lossy = advect_pallas(f32, v, 1 / 30., False, max_disp=12,
+                          sample_bf16=True)
+    ref = advect(fb.astype(F), v, 1 / 30., False)
+    np.testing.assert_allclose(np.asarray(lossy), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
 def test_advect_pallas_static_unroll(rng):
     from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
     f = jnp.asarray(rng.random((96, 200), dtype=F))
