@@ -40,6 +40,8 @@ class SmokeConfig:
     omega: float = 1.5
     advect_impl: str = "auto"      # auto | jnp | pallas (3D gather kernel)
     advect_max_disp: int = 4       # CFL clamp (cells/step) for the kernel
+    sor_impl: str = "auto"         # auto | jnp | pallas (3D packed-RB kernel)
+    sor_chunk: int = 3             # SOR sweeps per kernel launch (halo trade)
     mg_cycles: int = 1
     buoyancy_alpha: float = 8.0    # thermal lift
     buoyancy_beta: float = 2.0     # smoke weight
@@ -97,6 +99,20 @@ def _use_pallas_advect3d(cfg: SmokeConfig) -> bool:
     return d * h * w >= 64 ** 3 and jax.default_backend() == "tpu"
 
 
+def _use_pallas_sor3d(cfg: SmokeConfig) -> bool:
+    if cfg.solver != "sor" or cfg.jdtype != jnp.float32:
+        return False
+    if cfg.sor_impl == "pallas":
+        return True
+    if cfg.sor_impl == "jnp":
+        return False
+    # auto: the packed-RB 3D kernel keeps a whole sweep chunk in VMEM
+    # (2*chunk fewer full-grid HBM round trips per launch); wins on TPU
+    # from ~128^3 up
+    d, h, w = cfg.shape
+    return d * h * w >= 128 ** 3 and jax.default_backend() == "tpu"
+
+
 def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
     dt = cfg.dt
     vel, rho, temp = state.velocity, state.density, state.temperature
@@ -127,13 +143,32 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
         from ..ops.fd import vorticity_confinement
         vel = vorticity_confinement(vel, cfg.vorticity_eps, dt, cfg.dx)
 
-    # 4. pressure projection (same Neumann system as 2D, in 3D)
-    div = divergence(vel, cfg.dx)
+    # 4. pressure projection (same Neumann system as 2D, in 3D).  The
+    # div/grad stencils also go through kernels on big TPU grids: XLA's
+    # pad/slice lowering of the 3D concat stencils runs ~25x below
+    # bandwidth at 256^3 (measured ~20 ms vs the kernel's ~1 ms).
+    use_fd_kernel = (cfg.jdtype == jnp.float32
+                     and cfg.shape[0] * cfg.shape[1] * cfg.shape[2]
+                     >= 128 ** 3 and jax.default_backend() == "tpu"
+                     and cfg.advect_impl != "jnp")
+    if use_fd_kernel:
+        from ..ops.pallas.fd3d import (divergence3d_pallas,
+                                       subtract_gradient3d_pallas)
+        div = divergence3d_pallas(vel, cfg.dx)
+    else:
+        div = divergence(vel, cfg.dx)
     if cfg.solver == "multigrid":
         p = multigrid_solve(div, cfg.dx, cycles=cfg.mg_cycles)
+    elif _use_pallas_sor3d(cfg):
+        from ..ops.pallas.sor3d import sor3d_packed_pallas
+        p = sor3d_packed_pallas(div, cfg.dx, cfg.sor_iters, cfg.omega,
+                                chunk=cfg.sor_chunk)
     else:
         p = sor_solve(div, cfg.dx, cfg.sor_iters, cfg.omega)
-    vel = subtract_gradient(vel, p, cfg.dx)
+    if use_fd_kernel:
+        vel = subtract_gradient3d_pallas(vel, p, cfg.dx)
+    else:
+        vel = subtract_gradient(vel, p, cfg.dx)
 
     # 5. optional dissipation
     if cfg.dissipation > 0:

@@ -223,8 +223,8 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
     static_argnames=("dt", "no_slip", "max_disp", "tile_d", "tile_h",
                      "tile_w", "global_shape", "halo"))
 def advect3d_pallas(field: jax.Array, vel: jax.Array, dt: float,
-                    no_slip: bool, max_disp: int = 4, tile_d: int = 2,
-                    tile_h: int = 32, tile_w: int = 1024,
+                    no_slip: bool, max_disp: int = 4, tile_d: int = 4,
+                    tile_h: int = 16, tile_w: int = 1024,
                     global_offset: jax.Array | None = None,
                     global_shape=None, halo: int = 0):
     """Drop-in replacement for ``ops.advect.advect`` on large 3D grids.

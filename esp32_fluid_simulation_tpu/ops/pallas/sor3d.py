@@ -229,7 +229,7 @@ def _sor3d_chunk(d, p, dx, sweeps, omega, tile_d, tile_h, tile_w,
                                              "tile_w"))
 def sor3d_packed_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
                         omega: float = 1.5, chunk: int = 3,
-                        tile_d: int = 8, tile_h: int = 16,
+                        tile_d: int = 16, tile_h: int = 16,
                         tile_w: int = 256) -> jax.Array:
     """Drop-in for ``ops.poisson.sor_solve`` on 3D grids.
 

@@ -71,3 +71,23 @@ def test_advect3d_kernel_compiles(tpu_sharding):
     jax.jit(lambda f, v: advect3d_pallas(f, v, 1 / 30., True, 4)).lower(
         _sds(tpu_sharding, (3, 128, 256, 256)),
         _sds(tpu_sharding, (3, 128, 256, 256))).compile()
+
+
+def test_sor3d_kernel_compiles(tpu_sharding):
+    from esp32_fluid_simulation_tpu.ops.pallas.sor3d import sor3d_packed_pallas
+    # production 256^3 config (chunked; default tiles) + an odd shape
+    jax.jit(lambda d: sor3d_packed_pallas(d, 1.0, 6, 1.5)).lower(
+        _sds(tpu_sharding, (256, 256, 256))).compile()
+    jax.jit(lambda d: sor3d_packed_pallas(
+        d, 1.0, 4, 1.5, chunk=2, tile_d=8, tile_h=16, tile_w=128)).lower(
+        _sds(tpu_sharding, (33, 33, 33))).compile()
+
+
+def test_fd3d_kernels_compile(tpu_sharding):
+    from esp32_fluid_simulation_tpu.ops.pallas.fd3d import (
+        divergence3d_pallas, subtract_gradient3d_pallas)
+    jax.jit(lambda v: divergence3d_pallas(v, 1.0)).lower(
+        _sds(tpu_sharding, (3, 256, 256, 256))).compile()
+    jax.jit(lambda v, p: subtract_gradient3d_pallas(v, p, 1.0)).lower(
+        _sds(tpu_sharding, (3, 256, 256, 256)),
+        _sds(tpu_sharding, (256, 256, 256))).compile()

@@ -287,3 +287,42 @@ def test_tiled_domain_kernel_matches_fallback(rng):
     np.testing.assert_allclose(np.asarray(st_k.color),
                                np.asarray(st_r.color),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape,kw", [
+    ((12, 20, 136), dict(tile_d=4, tile_h=16, tile_w=128, chunk=2)),
+    ((9, 33, 130), dict(tile_d=4, tile_h=16, tile_w=128, chunk=3)),
+])
+def test_sor3d_packed_matches_jnp(rng, shape, kw):
+    """3D packed-RB kernel (ops/pallas/sor3d) == rank-polymorphic jnp
+    sor_solve, including chunked-launch continuation and odd shapes."""
+    from esp32_fluid_simulation_tpu.ops.pallas.sor3d import sor3d_packed_pallas
+    d = jnp.asarray(rng.standard_normal(shape).astype(F))
+    for iters in (1, 5):
+        ref = np.asarray(sor_solve(d, 1.0, iters, 1.5))
+        got = np.asarray(sor3d_packed_pallas(d, 1.0, iters, 1.5, **kw))
+        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_fd3d_kernels_match_jnp(rng):
+    """3D divergence / gradient-subtract kernels (ops/pallas/fd3d) == the
+    rank-polymorphic jnp stencils, including reflected-ghost and Neumann
+    wall handling at odd shapes."""
+    from esp32_fluid_simulation_tpu.ops.pallas.fd3d import (
+        divergence3d_pallas, subtract_gradient3d_pallas)
+    from esp32_fluid_simulation_tpu.ops.fd import (divergence,
+                                                   subtract_gradient)
+    for shape in [(12, 20, 136), (9, 33, 130)]:
+        v = jnp.asarray(rng.standard_normal((3,) + shape).astype(F))
+        p = jnp.asarray(rng.standard_normal(shape).astype(F))
+        np.testing.assert_array_equal(
+            np.asarray(divergence3d_pallas(v, 0.7, tile_d=4, tile_h=16,
+                                           tile_w=128)),
+            np.asarray(divergence(v, 0.7)))
+        np.testing.assert_allclose(
+            np.asarray(subtract_gradient3d_pallas(v, p, 0.7, tile_d=4,
+                                                  tile_h=16, tile_w=128)),
+            np.asarray(subtract_gradient(v, p, 0.7)),
+            rtol=1e-6, atol=1e-6)
