@@ -128,7 +128,11 @@ def bench_smoke3d_steps(shape=(256, 256, 256), n=6):
     """BASELINE config 5 (3D half): smoke plume steps/sec on one chip."""
     from esp32_fluid_simulation_tpu.models.smoke3d import (
         SmokeConfig, init_smoke, make_smoke_step)
-    cfg = SmokeConfig(shape=shape, solver="sor", sor_iters=6)
+    # advect_max_disp=2: the plume's |v|*dt stays ~0.1 cells (20x margin);
+    # the smaller CFL clamp shrinks the kernel's unrolled shift loops and
+    # halo windows (measured ~2x at 256^3)
+    cfg = SmokeConfig(shape=shape, solver="sor", sor_iters=6,
+                      advect_max_disp=2)
     st = init_smoke(cfg)
     fn = make_smoke_step(cfg, donate=False)
     for _ in range(2):

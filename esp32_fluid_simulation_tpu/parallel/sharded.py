@@ -97,7 +97,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
     # block + one exchanged halo (the kernels take a traced global offset
     # for their boundary-condition masks — see ops/pallas/*.py block mode)
     use_kernel_advect = (cfg.advect_impl == "pallas"
-                         and cfg.advector == "semilag")
+                         and cfg.advector in ("semilag", "maccormack"))
     H, W = cfg.shape
     nx = mesh.shape[X_AXIS]
     ny = mesh.shape[Y_AXIS]
@@ -112,14 +112,16 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
                      return_minmax=False):
         """Backtrace + gather in a k-halo window; global-coordinate clamps."""
         fpad = _exchange2(field, k, nx, ny)
-        if use_kernel_advect and not return_minmax:
-            # flagship gather kernel on the local block (ops/pallas/advect)
+        if use_kernel_advect:
+            # flagship gather kernel on the local block (ops/pallas/advect);
+            # return_minmax rides the same block mode (the sharded
+            # MacCormack predictor's clamp bounds, VERDICT r2 lever)
             from ..ops.pallas.advect import advect_pallas
             goff = jnp.stack([ox, oy]).astype(jnp.int32)
             v = vel if sign == 1.0 else -vel
             return advect_pallas(fpad, v, dt, no_slip, max_disp=max_disp,
                                  global_offset=goff, global_shape=(H, W),
-                                 halo=k)
+                                 halo=k, return_minmax=return_minmax)
         v0 = vel[0].astype(f32)
         v1 = vel[1].astype(f32)
         gi = ii.astype(f32)

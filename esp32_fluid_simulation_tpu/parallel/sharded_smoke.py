@@ -143,6 +143,35 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
                 p = jnp.where(parity == color, p_new, p)
         return p
 
+    # kernelized SOR (ops/pallas/sor3d block mode): per chunk of sweeps,
+    # ONE wide halo exchange (2*chunk ghost rings) replaces the composed
+    # path's per-half-sweep exchange; ghost cells evolve identically to the
+    # neighbor's owned cells, so re-exchanging between chunks keeps the
+    # continuation exact (same trapezoid argument as the 2D fused kernel).
+    use_kernel_sor = (cfg.solver == "sor"
+                      and getattr(cfg, "sor_impl", "auto") == "pallas")
+
+    def sor_kernel_local(d, ox, oy):
+        from ..ops.pallas.sor3d import _sor3d_chunk
+        ck = min(cfg.sor_chunk, cfg.sor_iters)
+        g = 2 * ck
+        dg = _exchange2(d, g)
+        p = jnp.zeros_like(dg)
+        p_own = None
+        done = 0
+        while done < cfg.sor_iters:
+            kk = min(ck, cfg.sor_iters - done)
+            goff = jnp.stack([jnp.int32(0), ox - g, oy - g])
+            p_full = _sor3d_chunk(dg, p, dx, kk, cfg.omega,
+                                  16, 16, 256,
+                                  global_offset=goff,
+                                  global_shape=(D, H, W))
+            p_own = p_full[:, g:g + lh, g:g + lw]
+            done += kk
+            if done < cfg.sor_iters:
+                p = _exchange2(p_own, g)
+        return p_own
+
     def shift_ec(x, axis):
         """(x[+1] - x[-1]) along ``axis`` with edge-clamped ghosts — the
         sharded rendition of ops.fd._shift_edge_clamp on [D, lh, lw]:
@@ -324,8 +353,12 @@ def make_sharded_smoke_step(cfg: SmokeConfig, mesh: Mesh, max_disp: int = 4,
             vel = vorticity_local(vel)
 
         div = divergence_local(vel)
-        p = (mg3d_local(div, zz, ii, jj) if cfg.solver == "multigrid"
-             else sor_local(div, zz, ii, jj))
+        if cfg.solver == "multigrid":
+            p = mg3d_local(div, zz, ii, jj)
+        elif use_kernel_sor:
+            p = sor_kernel_local(div, ox, oy)
+        else:
+            p = sor_local(div, zz, ii, jj)
         vel = gradient_sub_local(vel, p)
 
         if cfg.dissipation > 0:

@@ -64,6 +64,7 @@ _SLOW = {
     ("test_parity.py", "test_projection_reduces_divergence"),
     ("test_sharded.py", "test_sharded_kernel_solvers_match_single_device"),
     ("test_sharded.py", "test_sharded_maccormack_matches_single_device"),
+    ("test_sharded.py", "test_sharded_maccormack_kernel_matches_jnp"),
     ("test_sharded.py", "test_sharded_multigrid_matches_single_device"),
     ("test_sharded.py", "test_sharded_sor_halo_depths_exact"),
     ("test_sharded.py", "test_sharded_step_matches_single_device"),
@@ -71,6 +72,7 @@ _SLOW = {
     ("test_sharded_smoke.py",
      "test_sharded_smoke_kernel_advect_matches_single_device"),
     ("test_sharded_smoke.py", "test_sharded_smoke_matches_single_device"),
+    ("test_sharded_smoke.py", "test_sharded_smoke_kernel_sor_matches_single_device"),
     ("test_sharded_smoke.py",
      "test_sharded_smoke_multigrid_matches_single_device"),
     ("test_model.py", "test_maccormack_and_vorticity_step_runs"),

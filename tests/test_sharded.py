@@ -295,3 +295,35 @@ def test_sharded_multigrid_matches_single_device():
     np.testing.assert_allclose(np.asarray(st_sh.velocity),
                                np.asarray(st.velocity),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_maccormack_kernel_matches_jnp(monkeypatch):
+    """advect_impl='pallas' + advector='maccormack' under shard_map: the
+    block-mode kernel (incl. return_minmax clamp bounds) == the shard-local
+    jnp MacCormack, interpret-mode Mosaic on the CPU mesh."""
+    import functools
+    from jax.experimental import pallas as pl
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    mesh = _mesh_2x4()
+    ref = SimConfig(shape=(64, 96), advector="maccormack", sor_iters=3,
+                    advect_impl="jnp")
+    kcfg = SimConfig(shape=(64, 96), advector="maccormack", sor_iters=3,
+                     advect_impl="pallas", advect_max_disp=8)
+    imp = Impulses.from_lists(ref, [(32, 48)], [(150.0, -90.0)])
+
+    st_r = jax.device_put(init_state(ref), sharded_state_sharding(ref, mesh))
+    fn_r = make_sharded_step(ref, mesh, max_disp=8, donate=False)
+    st_k = jax.device_put(init_state(kcfg),
+                          sharded_state_sharding(kcfg, mesh))
+    fn_k = make_sharded_step(kcfg, mesh, max_disp=8, donate=False)
+    for t in range(3):
+        im = imp if t == 0 else Impulses.none(ref)
+        st_r = fn_r(st_r, im)
+        st_k = fn_k(st_k, im)
+    np.testing.assert_allclose(np.asarray(st_k.velocity),
+                               np.asarray(st_r.velocity),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_k.color),
+                               np.asarray(st_r.color),
+                               rtol=1e-4, atol=1e-4)
