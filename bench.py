@@ -302,6 +302,10 @@ def main():
                       advect_impl="pallas"), n=n_big)
         results["fps_512_vort_pallas"] = fps_vort_pal
         results["fps_512_vort"] = max(fps_vort_jnp, fps_vort_pal)
+        # config 2's stated A/B is Jacobi vs RB-SOR projection
+        results["fps_512_vort_jacobi"] = bench_step_fps(
+            SimConfig(shape=vort_shape, vorticity_eps=2.0,
+                      solver="jacobi", advect_impl="jnp"), n=n_big)
     else:
         results["fps_512_vort"] = fps_vort_jnp
 
