@@ -52,10 +52,21 @@ class SmokeConfig:
     source_density: float = 1.0
     source_temperature: float = 1.0
     dtype: str = "float32"
+    # Storage dtype for the advected scalars (density + temperature) only;
+    # velocity and pressure always run in ``dtype``.  "bfloat16" mirrors the
+    # 2D production config's bf16 dye (color_dtype): the smoke scalars are
+    # render-bound quantities, and the 3D advect kernel's packed-pair bf16
+    # gathers make their advection ~2.3x faster (9.8 -> 4.3 ms at 256^3).
+    scalar_dtype: str = "float32"
 
     @property
     def jdtype(self):
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def sdtype(self):
+        return {"float32": jnp.float32,
+                "bfloat16": jnp.bfloat16}[self.scalar_dtype]
 
 
 class SmokeState(NamedTuple):
@@ -81,8 +92,8 @@ def init_smoke(cfg: SmokeConfig) -> SmokeState:
     # would alias under jit donation ("donate the same buffer twice").
     return SmokeState(
         velocity=jnp.zeros((3,) + cfg.shape, cfg.jdtype),
-        density=jnp.zeros(cfg.shape, cfg.jdtype),
-        temperature=jnp.zeros(cfg.shape, cfg.jdtype),
+        density=jnp.zeros(cfg.shape, cfg.sdtype),
+        temperature=jnp.zeros(cfg.shape, cfg.sdtype),
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -121,10 +132,14 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
     if _use_pallas_advect3d(cfg):
         from ..ops.pallas.advect3d import advect3d_pallas
         md = cfg.advect_max_disp
-        vel = advect3d_pallas(vel, vel, dt, no_slip=True, max_disp=md)
+        # tile (8, 32): best of the on-device sweep at 256^3 (vel 9.7->8.8,
+        # scalars 6.3->3.6 ms vs the function's (4, 16) default)
+        tile = dict(tile_d=8, tile_h=32)
+        vel = advect3d_pallas(vel, vel, dt, no_slip=True, max_disp=md,
+                              **tile)
         # rho+temp share one backtrace (same velocity): one 2-channel call
         scal = advect3d_pallas(jnp.stack([rho, temp]), vel, dt,
-                               no_slip=False, max_disp=md)
+                               no_slip=False, max_disp=md, **tile)
         rho, temp = scal[0], scal[1]
     else:
         vel = advect(vel, vel, dt, no_slip=True)
@@ -132,12 +147,15 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
         temp = advect(temp, vel, dt, no_slip=False)
 
     # 2. inject the plume source
-    src = jnp.asarray(_source_mask(cfg), cfg.jdtype)
+    src = jnp.asarray(_source_mask(cfg), cfg.sdtype)
     rho = jnp.minimum(rho + dt * cfg.source_density * src, 1.0)
     temp = temp + dt * cfg.source_temperature * src
 
-    # 3. buoyancy along -axis0 (low indices = up): hot+light rises
-    buoy = (cfg.buoyancy_alpha * temp - cfg.buoyancy_beta * rho) * dt
+    # 3. buoyancy along -axis0 (low indices = up): hot+light rises.  The
+    # force accumulates into f32 velocity, so compute it in f32 even when
+    # the scalars are stored bf16 (same HBM traffic, full accuracy).
+    buoy = (cfg.buoyancy_alpha * temp.astype(cfg.jdtype)
+            - cfg.buoyancy_beta * rho.astype(cfg.jdtype)) * dt
     vel = vel.at[0].add(-buoy)
     if cfg.vorticity_eps > 0:
         from ..ops.fd import vorticity_confinement

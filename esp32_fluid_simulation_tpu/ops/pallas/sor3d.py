@@ -52,9 +52,9 @@ def _fold(win_vmem, nz, rh, wl):
     return jnp.concatenate(planes, axis=0) if nz > 1 else planes[0]
 
 
-def _sor3d_kernel(goff_ref, d_hbm, p_hbm, pout_ref, dwin, pwin, sem_d,
-                  sem_p, *, sweeps, omega, dx, tile_d, tile_h, tile_w,
-                  pz, pr, pc, gd, gh, gw):
+def _sor3d_kernel(goff_ref, d_hbm, p_hbm, pout_hbm, dwin, pwin, tout,
+                  sem_d, sem_p, sem_o, *, sweeps, omega, dx, tile_d,
+                  tile_h, tile_w, pz, pr, pc, gd, gh, gw):
     zi = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
@@ -172,15 +172,23 @@ def _sor3d_kernel(goff_ref, d_hbm, p_hbm, pout_ref, dwin, pwin, sem_d,
     p_full = interleave_parity(pE, pO, None, wl, rowpar=rowpar)
     for z in range(tile_d):
         r0 = (pz + z) * rh + pr
-        pout_ref[z] = p_full[r0:r0 + tile_h, pc:pc + tile_w].astype(
-            pout_ref.dtype)
+        tout[z] = p_full[r0:r0 + tile_h, pc:pc + tile_w].astype(tout.dtype)
+    # write the owned tile back into the SAME padded layout the next chunk
+    # launch reads (the halo frame is never written; loads mask it via
+    # in_dom) — no crop/re-pad round trip of p between chunks
+    dma_o = pltpu.make_async_copy(
+        tout,
+        pout_hbm.at[pl.ds(pz + z0, tile_d), pl.ds(pr + row0, tile_h),
+                    pl.ds(pc + col0, tile_w)],
+        sem_o)
+    dma_o.start()
+    dma_o.wait()
 
 
-def _sor3d_chunk(d, p, dx, sweeps, omega, tile_d, tile_h, tile_w,
-                 global_offset=None, global_shape=None):
-    gd_, gh_, gw_ = d.shape if global_shape is None else global_shape
-    bd, bh, bw = d.shape
-    need = 2 * sweeps
+def _sor3d_geometry(shape, halo_sweeps, tile_d, tile_h, tile_w):
+    """Tile/pad geometry sized for ``halo_sweeps`` sweeps per launch."""
+    bd, bh, bw = shape
+    need = 2 * halo_sweeps
     pz = need
     pr = pl.cdiv(need, 8) * 8
     pc = LANE
@@ -190,19 +198,27 @@ def _sor3d_chunk(d, p, dx, sweeps, omega, tile_d, tile_h, tile_w,
     dp = pl.cdiv(bd, td) * td
     hp = pl.cdiv(bh, th) * th
     wp = pl.cdiv(bw, tw) * tw
+    return td, th, tw, pz, pr, pc, dp, hp, wp
+
+
+def _sor3d_chunk_padded(dpad, ppad, dx, sweeps, omega, geom, gshape,
+                        global_offset=None):
+    """One chunk launch on ALREADY-PADDED operands, returning the padded
+    layout — consecutive chunks chain without any crop/re-pad round trip
+    of ``p`` through HBM (each program writes its owned tile back into the
+    same frame; the never-written halo frame is masked to 0 on load via
+    ``in_dom``, so its garbage is invisible)."""
+    td, th, tw, pz, pr, pc, dp, hp, wp = geom
+    gd_, gh_, gw_ = gshape
     goff = (jnp.zeros((1, 3), jnp.int32) if global_offset is None
             else global_offset.astype(jnp.int32).reshape(1, 3))
-
-    pads = ((pz, pz + dp - bd), (pr, pr + hp - bh), (pc, pc + wp - bw))
-    dpad = jnp.pad(d, pads)
-    ppad = jnp.pad(p, pads)
 
     kernel = functools.partial(
         _sor3d_kernel, sweeps=sweeps, omega=omega, dx=dx, tile_d=td,
         tile_h=th, tile_w=tw, pz=pz, pr=pr, pc=pc, gd=gd_, gh=gh_, gw=gw_)
 
     win = (td + 2 * pz, th + 2 * pr, tw + 2 * pc)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(dp // td, hp // th, wp // tw),
         in_specs=[
@@ -211,17 +227,33 @@ def _sor3d_chunk(d, p, dx, sweeps, omega, tile_d, tile_h, tile_w,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((td, th, tw), lambda z, r, c: (z, r, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dp, hp, wp), d.dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(dpad.shape, dpad.dtype),
         scratch_shapes=[
             pltpu.VMEM(win, dpad.dtype),
             pltpu.VMEM(win, ppad.dtype),
+            pltpu.VMEM((td, th, tw), dpad.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )(goff, dpad, ppad)
-    return out[:bd, :bh, :bw]
+
+
+def _sor3d_chunk(d, p, dx, sweeps, omega, tile_d, tile_h, tile_w,
+                 global_offset=None, global_shape=None):
+    """Unpadded-in/unpadded-out single chunk (the sharded block-mode entry
+    point); single-device multi-chunk solves use the padded chain in
+    ``sor3d_packed_pallas`` instead."""
+    gshape = d.shape if global_shape is None else global_shape
+    bd, bh, bw = d.shape
+    geom = _sor3d_geometry(d.shape, sweeps, tile_d, tile_h, tile_w)
+    td, th, tw, pz, pr, pc, dp, hp, wp = geom
+    pads = ((pz, pz + dp - bd), (pr, pr + hp - bh), (pc, pc + wp - bw))
+    out = _sor3d_chunk_padded(jnp.pad(d, pads), jnp.pad(p, pads), dx,
+                              sweeps, omega, geom, gshape,
+                              global_offset=global_offset)
+    return out[pz:pz + bd, pr:pr + bh, pc:pc + bw]
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "iters", "omega",
@@ -240,10 +272,19 @@ def sor3d_packed_pallas(d: jax.Array, dx: float = 1.0, iters: int = 10,
     """
     if d.ndim != 3:
         raise ValueError("sor3d_packed_pallas is 3D-only")
-    p = jnp.zeros_like(d)
+    bd, bh, bw = d.shape
+    # one fixed padded geometry for every launch (sized for the largest
+    # chunk): d is padded ONCE and p lives in the padded layout across all
+    # chunk launches — the only crop is the final one
+    geom = _sor3d_geometry(d.shape, min(chunk, iters), tile_d, tile_h,
+                           tile_w)
+    td, th, tw, pz, pr, pc, dp, hp, wp = geom
+    pads = ((pz, pz + dp - bd), (pr, pr + hp - bh), (pc, pc + wp - bw))
+    dpad = jnp.pad(d, pads)
+    ppad = jnp.zeros_like(dpad)
     done = 0
     while done < iters:
         k = min(chunk, iters - done)
-        p = _sor3d_chunk(d, p, dx, k, omega, tile_d, tile_h, tile_w)
+        ppad = _sor3d_chunk_padded(dpad, ppad, dx, k, omega, geom, d.shape)
         done += k
-    return p
+    return ppad[pz:pz + bd, pr:pr + bh, pc:pc + bw]

@@ -34,6 +34,33 @@ def test_smoke_plume_rises():
     assert w_up < 0
 
 
+def test_smoke_bf16_scalars():
+    """scalar_dtype='bfloat16' keeps density/temperature bf16 end-to-end
+    (velocity/pressure stay f32) and still produces a rising plume close to
+    the f32 run (the bench's 256^3 config uses this, mirroring the 2D
+    production config's bf16 dye)."""
+    import jax.numpy as jnp
+    kw = dict(shape=(32, 24, 24), mg_cycles=1)
+    st_b = init_smoke(SmokeConfig(scalar_dtype="bfloat16", **kw))
+    fn_b = make_smoke_step(SmokeConfig(scalar_dtype="bfloat16", **kw),
+                           donate=False)
+    st_f = init_smoke(SmokeConfig(**kw))
+    fn_f = make_smoke_step(SmokeConfig(**kw), donate=False)
+    for _ in range(25):
+        st_b = fn_b(st_b)
+        st_f = fn_f(st_f)
+    assert st_b.density.dtype == jnp.bfloat16
+    assert st_b.temperature.dtype == jnp.bfloat16
+    assert st_b.velocity.dtype == jnp.float32
+    rho_b = np.asarray(st_b.density, np.float32)
+    rho_f = np.asarray(st_f.density, np.float32)
+    assert np.isfinite(rho_b).all()
+    # same plume to bf16 tolerance: total smoke mass within a few percent
+    assert abs(rho_b.sum() - rho_f.sum()) < 0.05 * max(rho_f.sum(), 1e-6)
+    v_b = np.asarray(st_b.velocity)
+    assert np.isfinite(v_b).all() and (v_b[0] * rho_b).sum() < 0
+
+
 def test_smoke_divergence_controlled():
     from esp32_fluid_simulation_tpu.ops.fd import divergence
     cfg = SmokeConfig(shape=(16, 16, 16), solver="sor", sor_iters=8)
