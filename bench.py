@@ -108,7 +108,9 @@ def bench_ensemble_steps(n_members=256, shape=(256, 256), n=10):
         init_ensemble, make_ensemble_step, stack_impulses)
     from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
 
-    cfg = SimConfig(shape=shape, scaling=1)
+    # bf16 dye = the production config (same as the 4096^2 headline);
+    # identical member config in bench_tiled_ensemble_steps
+    cfg = SimConfig(shape=shape, scaling=1, color_dtype="bfloat16")
     state = init_ensemble(cfg, n_members)
     fn = make_ensemble_step(cfg, donate=False)
     imp = stack_impulses([scripted_swirl(cfg, 7 * m)
@@ -179,26 +181,37 @@ def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
     """BASELINE config 4 on the tiled-domain supergrid (SimConfig
     .domain_tile): every member is a tile of one big grid, all boundary
     conditions act per tile, and the whole ensemble advances in one
-    kernel-path step."""
-    from esp32_fluid_simulation_tpu import SimConfig, Impulses
-    from esp32_fluid_simulation_tpu.models.stable_fluids import init_state
-    from esp32_fluid_simulation_tpu.models.ensemble import (
-        tiled_ensemble_config, tiled_member_impulses)
-    from esp32_fluid_simulation_tpu import make_step
+    kernel-path step.
 
-    member = SimConfig(shape=shape, scaling=1)
+    Forcing is IDENTICAL to ``bench_ensemble_steps`` (every member swirled
+    each step) so the two rows differ only in state layout: this one keeps
+    the state in supergrid layout across steps, the batched row converts
+    member-stack <-> supergrid each step (the API contract).  The advect
+    kernels gate work on per-panel occupancy, so a quieter forcing
+    schedule would make this row look faster for workload reasons, not
+    API reasons (measured: a dead fluid steps ~1.5x faster at this
+    scale)."""
+    import jax as _jax
+    from esp32_fluid_simulation_tpu import SimConfig
+    from esp32_fluid_simulation_tpu.models.stable_fluids import (
+        init_state, _step_tiled)
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        tiled_ensemble_config, stack_impulses, _apply_member_impulses)
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+
+    member = SimConfig(shape=shape, scaling=1, color_dtype="bfloat16")
     cfg, gh, gw = tiled_ensemble_config(
         member, n_members, solver="fused_pallas" if kernel else "sor")
     state = init_state(cfg)
-    fn = make_step(cfg, donate=False)
     h, w = shape
-    imp = tiled_member_impulses(
-        cfg, member, gh, gw,
-        [([(h // 2, w // 2)], [(150.0, -80.0)])
-         if m % 16 == 0 else ([], []) for m in range(n_members)])
+    imp = stack_impulses([scripted_swirl(member, 7 * m)
+                          for m in range(n_members)])
+    apply_fn = lambda v: _apply_member_impulses(  # noqa: E731
+        v, imp=imp, gh=gh, gw=gw, mh=h, mw=w)
+    fn = _jax.jit(lambda s: _step_tiled(s, None, cfg, apply_fn=apply_fn))
 
     def one(st):
-        return fn(st, imp)
+        return fn(st)
 
     one(state)
     _sync(state)

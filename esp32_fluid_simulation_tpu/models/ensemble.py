@@ -44,21 +44,32 @@ def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
                            mh: int, mw: int):
     """Batched per-member impulses onto the supergrid velocity.
 
-    One scatter per impulse *slot* (all members at once): members write to
-    disjoint tiles, so within-slot order is irrelevant, and slot order
-    preserves the reference's queue-drain overwrite semantics
-    (``.ino:264-269``)."""
+    ONE scatter for all (member, slot) points.  Members write to disjoint
+    tiles, so cross-member order is irrelevant; within a member, slot
+    order preserves the reference's queue-drain overwrite semantics
+    (``.ino:264-269``) — for duplicate positions the LAST active slot
+    wins.  Overwrites are resolved up front in [n, k] index space (k^2
+    tiny vector ops) and superseded/inactive slots are routed out of
+    bounds and dropped: a per-slot ``.at[].set`` loop costs 2k full-grid
+    passes (~12 ms/step on a 4096^2 supergrid, measured), this costs one
+    scatter."""
     n, k, nd = imp.pos.shape
-    oi = (jnp.arange(n, dtype=jnp.int32) // gw) * mh
+    oi = (jnp.arange(n, dtype=jnp.int32) // gw) * mh   # [n] tile origins
     oj = (jnp.arange(n, dtype=jnp.int32) % gw) * mw
-    for s in range(k):
-        rows = oi + jnp.clip(imp.pos[:, s, 0], 0, mh - 1)
-        cols = oj + jnp.clip(imp.pos[:, s, 1], 0, mw - 1)
-        old = vel[:, rows, cols]                       # [nd, n]
-        new = jnp.where(imp.active[:, s][None, :],
-                        imp.velocity[:, s].T.astype(vel.dtype), old)
-        vel = vel.at[:, rows, cols].set(new)
-    return vel
+    li = jnp.clip(imp.pos[:, :, 0], 0, mh - 1)         # [n, k] member-local
+    lj = jnp.clip(imp.pos[:, :, 1], 0, mw - 1)
+    act = imp.active                                   # [n, k]
+    same = ((li[:, :, None] == li[:, None, :])
+            & (lj[:, :, None] == lj[:, None, :]))      # [n, k, k]
+    later = jnp.triu(jnp.ones((k, k), jnp.bool_), 1)[None]   # s' > s
+    superseded = jnp.any(same & later & act[:, None, :], axis=2)
+    write = act & ~superseded
+    H = gh * mh
+    rows = jnp.where(write, oi[:, None] + li, H)       # H = out of bounds
+    cols = oj[:, None] + lj
+    vals = jnp.moveaxis(imp.velocity, 2, 0).reshape(nd, n * k)
+    return vel.at[:, rows.reshape(-1), cols.reshape(-1)].set(
+        vals.astype(vel.dtype), mode="drop")
 
 
 def make_ensemble_step(cfg: SimConfig, donate: bool = True,

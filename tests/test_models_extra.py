@@ -235,7 +235,10 @@ def test_ensemble_auto_tiled_matches_vmap():
     st = init_ensemble(cfg, n)
     fn_auto = make_ensemble_step(cfg, donate=False)          # auto -> tiled
     fn_vmap = make_ensemble_step(cfg, donate=False, mode="vmap")
-    imps = [Impulses.from_lists(cfg, [(8 + k, 9), (20, 4 + k)],
+    # member 0 writes the SAME cell twice: the later slot must win (the
+    # reference's queue-drain overwrite, .ino:264-269)
+    imps = [Impulses.from_lists(cfg, [(8 + k, 9), (8 + k, 9) if k == 0
+                                      else (20, 4 + k)],
                                 [(float(50 + 30 * k), -40.0),
                                  (25.0, float(-60 + 10 * k))])
             for k in range(n)]
