@@ -136,10 +136,11 @@ def _advect_by(cfg: SimConfig):
     if use_kernel:
         from ..ops.pallas.advect import advect_pallas
 
-        def adv(field, vel, dt, no_slip):
+        def adv(field, vel, dt, no_slip, clip01=False):
             return advect_pallas(field, vel, dt, no_slip,
                                  max_disp=cfg.advect_max_disp,
-                                 sample_bf16=bf16)
+                                 sample_bf16=bf16, clip01=clip01)
+        adv.fuses_clip01 = True
         return adv
     return advect
 
@@ -178,17 +179,17 @@ def _step_tiled(state: SimState, impulses: Impulses,
         from ..ops.pallas.project import project_fused_pallas
         bf16 = cfg.advect_sample_dtype == "bfloat16"
 
-        def adv(field, vel, no_slip):
+        def adv(field, vel, no_slip, clip01=False):
             return advect_pallas(field, vel, cfg.dt, no_slip,
                                  max_disp=cfg.advect_max_disp,
-                                 member=(mh, mw), sample_bf16=bf16)
+                                 member=(mh, mw), sample_bf16=bf16,
+                                 clip01=clip01)
 
         vel = adv(state.velocity, state.velocity, True)
         vel = apply_fn(vel)
         vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
                                       member=(mh, mw))
-        color = adv(state.color, vel, False)
-        color = jnp.clip(color, 0.0, 1.0)
+        color = adv(state.color, vel, False, clip01=True)
         return SimState(velocity=vel, color=color, step=state.step + 1)
 
     # jnp fallback: vmap the member ops over the reshaped batch
@@ -227,9 +228,13 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
 
     vel = _project(vel, cfg)
 
-    color = adv(state.color, vel, cfg.dt, no_slip=False)
-    color = (jnp.clip(color, 0.0, 1.0)
-             if cfg.advector in ("semilag", "rk2") else color)
+    clip = cfg.advector in ("semilag", "rk2")
+    if clip and getattr(adv, "fuses_clip01", False):
+        # dye clamp fused into the kernel store (saves one HBM pass)
+        color = adv(state.color, vel, cfg.dt, no_slip=False, clip01=True)
+    else:
+        color = adv(state.color, vel, cfg.dt, no_slip=False)
+        color = jnp.clip(color, 0.0, 1.0) if clip else color
 
     return SimState(velocity=vel, color=color, step=state.step + 1)
 

@@ -149,7 +149,7 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
 
 def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                          tile_h, tile_w, pr, h, w, bh, no_slip, pack,
-                         ret_minmax, member=None):
+                         ret_minmax, member=None, clip01=False):
     """One (row-tile, col-tile) program; all channels.  See module doc,
     variant "panel".
 
@@ -300,6 +300,11 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
         a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
         if no_slip:
             a = a * ns_factor
+        if clip01:
+            # fused dye clamp (the step's jnp.clip(color, 0, 1) costs a
+            # full extra HBM pass at 4096^2); clip-then-round == round-
+            # then-clip here since 0.0/1.0 are exact in every out dtype
+            a = jnp.clip(a, 0.0, 1.0)
         out_ref[ch, :, :] = a.astype(out_ref.dtype)
         if ret_minmax:
             mn_ref[ch, :, :] = mn_vmem[ch * tile_h:(ch + 1) * tile_h,
@@ -388,14 +393,15 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
-                     "sample_bf16", "return_minmax", "member"))
+                     "sample_bf16", "return_minmax", "member", "clip01"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 32, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "panel",
                   global_offset: jax.Array | None = None,
                   global_shape: Tuple[int, int] | None = None,
                   halo: int = 0, sample_bf16: bool = False,
-                  return_minmax: bool = False, member=None):
+                  return_minmax: bool = False, member=None,
+                  clip01: bool = False):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -433,6 +439,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         raise ValueError("return_minmax requires the panel variant")
     if member is not None and variant != "panel":
         raise ValueError("tiled-domain mode requires the panel variant")
+    if clip01 and variant != "panel":
+        raise ValueError("clip01 requires the panel variant")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -477,7 +485,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         kernel = functools.partial(
             _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
-            ret_minmax=return_minmax, member=member)
+            ret_minmax=return_minmax, member=member, clip01=clip01)
 
         grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                   memory_space=pltpu.VMEM)

@@ -33,6 +33,11 @@ def test_advect_kernel_compiles(tpu_sharding):
     jax.jit(lambda f, v: advect_pallas(f, v, 1 / 30., True, 12)).lower(
         _sds(tpu_sharding, (512, 1024)),
         _sds(tpu_sharding, (2, 512, 1024))).compile()
+    # fused dye clamp (production path: 3ch bf16 + clip01)
+    jax.jit(lambda f, v: advect_pallas(f, v, 1 / 30., False, 12,
+                                       clip01=True)).lower(
+        _sds(tpu_sharding, (3, 512, 1024), jnp.bfloat16),
+        _sds(tpu_sharding, (2, 512, 1024))).compile()
 
 
 def test_sor_kernel_compiles(tpu_sharding):

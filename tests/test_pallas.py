@@ -48,6 +48,23 @@ def test_advect_pallas_multichannel(rng):
                                rtol=1e-5, atol=2e-5)
 
 
+def test_advect_pallas_clip01_bit_equal(rng):
+    """clip01=True == jnp.clip(advect_pallas(...), 0, 1) bit-for-bit (the
+    fused dye clamp the production step uses), f32 and bf16."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    shape = (48, 96)
+    v = jnp.asarray((90 * rng.standard_normal((2,) + shape)).astype(F))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        # push values outside [0, 1] so the clamp actually acts
+        f = (3.0 * jnp.asarray(rng.random((3,) + shape, dtype=F))
+             - 1.0).astype(dtype)
+        ref = jnp.clip(advect_pallas(f, v, 1 / 30., False), 0.0, 1.0)
+        got = advect_pallas(f, v, 1 / 30., False, clip01=True)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(got, np.float32))
+
+
 def test_advect_pallas_cfl_clamp(rng):
     """Displacements beyond max_disp are clamped — equivalent to advecting
     through a velocity field clipped to max_disp/dt."""
