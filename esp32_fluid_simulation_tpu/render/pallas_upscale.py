@@ -56,8 +56,20 @@ def _fetch(c_hbm, cwin_vmem, sem, r, c, *, ti_h, ti_w):
     dma.wait()
 
 
-def _expand_rows(cwin_vmem, *, s, ti_h, ti_w):
-    """Row-expanded lerped channels: 3 x (ti_h*s, ti_w+1) float32."""
+CH_BITS = (5, 6, 5)  # RGB565 bits per channel
+
+
+def _expand_rows(cwin_vmem, *, s, ti_h, ti_w, prescale=False):
+    """Row-expanded lerped channels: 3 x (ti_h*s, ti_w+1) float32.
+
+    With ``prescale``, each channel is multiplied by its quantization scale
+    (2^bits — a power of two, so the scaling commutes EXACTLY with every
+    f32 lerp: multiplying by 2^k only shifts exponents, so
+    ``fl(fl(a*(1-w)+b*w) * 2^k) == fl((2^k a)*(1-w) + (2^k b)*w)`` for all
+    non-overflowing inputs).  Hoisting the scale to source resolution saves
+    one f32 multiply per channel per *output* pixel — ~0.8 G ops at
+    4096^2 -> 16384^2 where the kernel is VPU-bound (tools/prim_probe.py).
+    """
     f32 = jnp.float32
     tho = ti_h * s
     # row phase fraction per output row: (r % s) / s.  Built at full width:
@@ -70,17 +82,25 @@ def _expand_rows(cwin_vmem, *, s, ti_h, ti_w):
         # 3D-ref partial slices crash this Mosaic lowering: read the whole
         # channel, slice the value.
         cw = cwin_vmem[ch].astype(f32)[:, :ti_w + 1]  # (ti_h+pad, ti_w+1)
+        if prescale:
+            cw = cw * f32(1 << CH_BITS[ch])
         r0 = jnp.repeat(cw[:ti_h, :], s, axis=0)   # node rows i
         r1 = jnp.repeat(cw[1:ti_h + 1, :], s, axis=0)  # node rows i+1
         rows.append(r0 * (1.0 - wa) + r1 * wa)
     return rows
 
 
-def _quant(v, bits):
+def _quant(v, bits, *, prescaled=False, unit_range=False):
     # int cast truncates toward zero; after the clip to [0, 2^bits) that is
     # result-identical to the reference's floor for every finite input, so
     # the explicit floor is elided (one fewer VPU op per channel per pixel)
-    q = (v * jnp.float32(1 << bits)).astype(jnp.int32)
+    q = v.astype(jnp.int32) if prescaled else (
+        v * jnp.float32(1 << bits)).astype(jnp.int32)
+    if unit_range:
+        # inputs in [0, 1] (the advect kernel stores clamped dye): lerps of
+        # in-range values stay in range, so only the v == 1.0 endpoint can
+        # exceed the code range — min() alone suffices.
+        return jnp.minimum(q, (1 << bits) - 1)
     return jnp.clip(q, 0, (1 << bits) - 1)
 
 
@@ -92,11 +112,11 @@ def _pack565(r, g, b, bswap):
 
 
 def _render_kernel_planes(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
-                          bswap):
+                          bswap, unit_range):
     """Phase-plane variant: out_ref is (s, ti_h*s, ti_w)."""
     _fetch(c_hbm, cwin_vmem, sem, pl.program_id(0), pl.program_id(1),
            ti_h=ti_h, ti_w=ti_w)
-    rows = _expand_rows(cwin_vmem, s=s, ti_h=ti_h, ti_w=ti_w)
+    rows = _expand_rows(cwin_vmem, s=s, ti_h=ti_h, ti_w=ti_w, prescale=True)
     f32 = jnp.float32
     for p in range(s):
         fb = f32(p) / f32(s)
@@ -104,7 +124,7 @@ def _render_kernel_planes(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
         def chan_bits(ch, bits):
             rw = rows[ch]
             v = rw[:, :ti_w] * (1.0 - fb) + rw[:, 1:ti_w + 1] * fb
-            return _quant(v, bits)
+            return _quant(v, bits, prescaled=True, unit_range=unit_range)
 
         word = _pack565(chan_bits(0, 5), chan_bits(1, 6), chan_bits(2, 5),
                         bswap)
@@ -112,13 +132,13 @@ def _render_kernel_planes(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
 
 
 def _render_kernel_t(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
-                     bswap):
+                     bswap, unit_range):
     """Transposed-pipeline variant: out_ref is (ti_h*s, ti_w*s) — the final
     interleaved tile.  Column stretch runs as a sublane ``repeat`` on the
     transposed rows; one u16 transpose back emits the image layout."""
     _fetch(c_hbm, cwin_vmem, sem, pl.program_id(0), pl.program_id(1),
            ti_h=ti_h, ti_w=ti_w)
-    rows = _expand_rows(cwin_vmem, s=s, ti_h=ti_h, ti_w=ti_w)
+    rows = _expand_rows(cwin_vmem, s=s, ti_h=ti_h, ti_w=ti_w, prescale=True)
     f32 = jnp.float32
     tho = ti_h * s
     # column phase fraction per *sublane* of the transposed tile
@@ -129,7 +149,8 @@ def _render_kernel_t(c_hbm, out_ref, cwin_vmem, sem, *, s, ti_h, ti_w,
         rt = rows[ch].T                            # (ti_w+1, tho)
         c0 = jnp.repeat(rt[:ti_w, :], s, axis=0)   # node cols j
         c1 = jnp.repeat(rt[1:ti_w + 1, :], s, axis=0)  # node cols j+1
-        return _quant(c0 * (1.0 - wb) + c1 * wb, bits)
+        return _quant(c0 * (1.0 - wb) + c1 * wb, bits, prescaled=True,
+                      unit_range=unit_range)
 
     word = _pack565(chan_bits(0, 5), chan_bits(1, 6), chan_bits(2, 5),
                     bswap)                          # (ti_w*s, tho) int32
@@ -146,11 +167,17 @@ def _padded(color, h, w, hp, wp):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "bswap", "tile_h",
-                                             "tile_w", "impl"))
+                                             "tile_w", "impl", "unit_range"))
 def render_rgb565_pallas(color: jax.Array, s: int = 4, bswap: bool = True,
                          tile_h: int = 64, tile_w: int = 512,
-                         impl: str = "transpose") -> jax.Array:
-    """Fused render: ``[3, H, W] -> [(H-1)*s, (W-1)*s] uint16``."""
+                         impl: str = "transpose",
+                         unit_range: bool = False) -> jax.Array:
+    """Fused render: ``[3, H, W] -> [(H-1)*s, (W-1)*s] uint16``.
+
+    ``unit_range=True`` asserts the input lies in [0, 1] (true for dye the
+    advect kernel stored, which clamps on store) and drops the per-pixel
+    lower clip; out-of-range inputs then render differently from the jnp
+    path, so the default stays off."""
     _, h, w = color.shape
     ho, wo = (h - 1) * s, (w - 1) * s
     ti_h = min(tile_h, pl.cdiv(h - 1, 8) * 8)
@@ -159,7 +186,7 @@ def render_rgb565_pallas(color: jax.Array, s: int = 4, bswap: bool = True,
     wp = pl.cdiv(w - 1, ti_w) * ti_w
     cpad = _padded(color, h, w, hp, wp)
     n_r, n_c = hp // ti_h, wp // ti_w
-    kw = dict(s=s, ti_h=ti_h, ti_w=ti_w, bswap=bswap)
+    kw = dict(s=s, ti_h=ti_h, ti_w=ti_w, bswap=bswap, unit_range=unit_range)
     scratch = [pltpu.VMEM((3, ti_h + PAD_R, ti_w + PAD_C), cpad.dtype),
                pltpu.SemaphoreType.DMA]
 

@@ -165,6 +165,24 @@ def test_render_pallas_multi_tile(rng, impl):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("impl", ["planes", "transpose"])
+def test_render_pallas_unit_range_bit_exact(rng, impl):
+    """unit_range=True (min-only clamp) is bit-exact for [0, 1] inputs,
+    including exact 0.0/1.0 endpoints (the only codes the dropped lower/
+    upper clips could affect)."""
+    from esp32_fluid_simulation_tpu.render.pallas_upscale import (
+        render_rgb565_pallas)
+    from esp32_fluid_simulation_tpu.render import render_rgb565
+    c = rng.random((3, 61, 81), dtype=F)
+    c[:, ::7, ::5] = 1.0
+    c[:, 1::9, ::3] = 0.0
+    c = jnp.asarray(c)
+    a = np.asarray(render_rgb565(c, s=4))
+    b = np.asarray(render_rgb565_pallas(c, s=4, tile_h=16, tile_w=128,
+                                        impl=impl, unit_range=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_advect_pallas_bf16_pack_bit_equal(rng):
     """The packed-pair bf16 gather (pack=True, auto for bf16 fields) is
     bit-identical to the unpacked gathers (tilewide variant) — the f32
