@@ -91,6 +91,7 @@ _SLOW = {
     ("test_sharded.py", "test_batched_spatial_mesh_runs"),
     ("test_pallas.py", "test_project_fused_matches_composed"),
     ("test_pallas.py", "test_advect_pallas_static_unroll"),
+    ("test_pallas.py", "test_advect_pallas_panel_boundary_select"),
     ("test_pallas.py", "test_fd3d_kernels_match_jnp"),
 }
 

@@ -230,6 +230,42 @@ def test_advect_pallas_bf16_pack_bit_equal(rng):
                                rtol=1e-5, atol=2e-5)
 
 
+def test_advect_pallas_panel_boundary_select(rng):
+    """Adversarial column displacements for the panel variant's one-hot
+    source-panel select (round-3 restructure): constant velocities push
+    every output's source column right up to (and across) the 128-lane
+    panel boundaries, in both directions, with fractional parts 0 / 0.5 /
+    ~1 (the rolled-window second tap).  Bit-compared against the tilewide
+    kernel and value-compared against the jnp op."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    shape = (16, 512)
+    f = jnp.asarray(rng.random(shape, dtype=F))
+    fb = f.astype(jnp.bfloat16)
+    dt = 1 / 30.
+    for cells in (11.0, 11.5, 11.984375, -11.0, -11.5, -11.984375, 61.5,
+                  -61.5):
+        md = 62 if abs(cells) > 12 else 12
+        v = jnp.stack([jnp.zeros(shape, F),
+                       jnp.full(shape, F(cells / dt))])
+        want = advect(f, v, dt, False)
+        got = advect_pallas(f, v, dt, False, max_disp=md, tile_h=8,
+                            tile_w=256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"cells={cells}")
+        tw = advect_pallas(f, v, dt, False, max_disp=md, tile_h=8,
+                           tile_w=256, variant="tilewide")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(tw),
+                                      err_msg=f"cells={cells} (vs tilewide)")
+        gb = advect_pallas(fb, v, dt, False, max_disp=md, tile_h=8,
+                           tile_w=256)
+        tb = advect_pallas(fb, v, dt, False, max_disp=md, tile_h=8,
+                           tile_w=256, variant="tilewide")
+        np.testing.assert_array_equal(
+            np.asarray(gb, np.float32), np.asarray(tb, np.float32),
+            err_msg=f"cells={cells} (bf16 pack)")
+
+
 def test_advect_pallas_static_unroll(rng):
     from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
     f = jnp.asarray(rng.random((96, 200), dtype=F))
