@@ -204,6 +204,7 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
     dma.wait()
 
     wins = []
+    wins_next = []                     # one-lane-left-rolled copies (f32 path)
     for ch in range(n_ch):
         x = src_vmem[ch].astype(f32)
         if pack:
@@ -217,6 +218,14 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                 x = x.astype(jnp.bfloat16).astype(f32)
             nxt = pltpu.roll(x, ww - 1, 1)         # x shifted left by one
             x = _bitcast_f32(_bitcast_u32(x) | (_bitcast_u32(nxt) >> 16))
+        else:
+            # Exact-f32 analogue of the pack trick: hoist the (k+1)-tap as a
+            # whole rolled window so both bilinear column taps gather with
+            # the SAME index vector (win_next[:, k] == win[:, k+1]; the
+            # wrap lane ww-1 is never indexed by a valid output).  This
+            # removes the second index set (mod1/div1/e1) from the panel
+            # loop entirely.
+            wins_next.append(pltpu.roll(x, ww - 1, 1))
         wins.append(x)
 
     acc_vmem[...] = jnp.zeros(acc_vmem.shape, f32)
@@ -241,12 +250,13 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
         lj_p = lj[:, sl]
         div_p = jnp.floor_divide(lj_p, LANE)
         mod_p = jnp.bitwise_and(lj_p, LANE - 1)
-        e_q = [div_p == po, div_p == po + 1]
-        if not pack:
-            lj1_p = lj_p + 1
-            div1_p = jnp.floor_divide(lj1_p, LANE)
-            mod1_p = jnp.bitwise_and(lj1_p, LANE - 1)
-            e1_q = [div1_p == po, div1_p == po + 1]
+        # Every valid output's source column lands in source panel po or
+        # po+1 (the LH=64 window guarantee, see the lj comment above), so
+        # ONE one-hot select between the two panel gathers replaces the
+        # round-2 mask-and-accumulate pipeline (2 wheres + 2 adds + zero
+        # inits per panel per tap); invalid (cropped) outputs may select
+        # garbage — finite by construction, never stored.
+        e0 = div_p == po
         one_m_dj = 1.0 - dj_p
 
         # This panel's own shift range (occupancy skip): the smooth velocity
@@ -266,22 +276,31 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                 for ch in range(n_ch):
                     chsl = slice(ch * tile_h, (ch + 1) * tile_h)
                     rows_s = wins[ch][pr + s:pr + s + tile_h, :]
-                    rv0 = jnp.zeros((tile_h, LANE), f32)
-                    rv1 = jnp.zeros((tile_h, LANE), f32)
-                    for qi, q in enumerate((po, po + 1)):
-                        pan = rows_s[:, q * LANE:(q + 1) * LANE]
-                        if pack:
-                            g = jnp.take_along_axis(pan, mod_p, axis=1)
-                            gu = _bitcast_u32(g)
-                            v0 = _bitcast_f32(gu & jnp.uint32(0xFFFF0000))
-                            v1 = _bitcast_f32(gu << 16)
-                            rv0 += jnp.where(e_q[qi], v0, 0.0)
-                            rv1 += jnp.where(e_q[qi], v1, 0.0)
-                        else:
-                            g0 = jnp.take_along_axis(pan, mod_p, axis=1)
-                            g1 = jnp.take_along_axis(pan, mod1_p, axis=1)
-                            rv0 += jnp.where(e_q[qi], g0, 0.0)
-                            rv1 += jnp.where(e1_q[qi], g1, 0.0)
+                    pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
+                    pan1 = rows_s[:, (po + 1) * LANE:(po + 2) * LANE]
+                    if pack:
+                        gu = jnp.where(
+                            e0,
+                            _bitcast_u32(
+                                jnp.take_along_axis(pan0, mod_p, axis=1)),
+                            _bitcast_u32(
+                                jnp.take_along_axis(pan1, mod_p, axis=1)))
+                        rv0 = _bitcast_f32(gu & jnp.uint32(0xFFFF0000))
+                        rv1 = _bitcast_f32(gu << 16)
+                    else:
+                        rows_n = wins_next[ch][pr + s:pr + s + tile_h, :]
+                        rv0 = jnp.where(
+                            e0,
+                            jnp.take_along_axis(pan0, mod_p, axis=1),
+                            jnp.take_along_axis(pan1, mod_p, axis=1))
+                        rv1 = jnp.where(
+                            e0,
+                            jnp.take_along_axis(
+                                rows_n[:, po * LANE:(po + 1) * LANE],
+                                mod_p, axis=1),
+                            jnp.take_along_axis(
+                                rows_n[:, (po + 1) * LANE:(po + 2) * LANE],
+                                mod_p, axis=1))
                     colv = rv0 * one_m_dj + rv1 * dj_p
                     acc_vmem[chsl, sl] += colv * contrib
                     if ret_minmax:

@@ -133,16 +133,16 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                 "wi0_p": wi0[:, sl], "wi1_p": wi1[:, sl],
                 "dj_p": djf[:, sl], "one_m_dj": 1.0 - djf[:, sl],
                 "mod_p": jnp.bitwise_and(lj_p, LANE - 1),
-                "e_q": [jnp.floor_divide(lj_p, LANE) == po,
-                        jnp.floor_divide(lj_p, LANE) == po + 1],
+                # Every valid output's source column lands in panel po or
+                # po+1 (the _LH=64 window guarantee — clamped j0 keeps lj
+                # within [c+LH-max_disp, c+LH+max_disp+1]), so one one-hot
+                # select between the two panel gathers replaces the
+                # mask-and-accumulate pipeline (same restructure as the 2D
+                # panel kernel).
+                "e0": jnp.floor_divide(lj_p, LANE) == po,
                 "smin": jnp.min(masked_ri[:, sl]),
                 "smax": jnp.max(masked_ri[:, sl]),
             }
-            if not pack:
-                lj1_p = lj_p + 1
-                ent["mod1_p"] = jnp.bitwise_and(lj1_p, LANE - 1)
-                ent["e1_q"] = [jnp.floor_divide(lj1_p, LANE) == po,
-                               jnp.floor_divide(lj1_p, LANE) == po + 1]
             panels.append(ent)
 
         for sz_s in range(-max_disp, max_disp + 2):
@@ -150,12 +150,18 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
             def _(sz_s=sz_s, dz=dz):
                 # source planes for this z-shift, packed once per channel
                 xs = []
+                xs_next = []   # one-lane-left-rolled copies (f32 path): the
+                # (k+1)-tap gathers the rolled plane with the SAME index
+                # vector (xs_next[:, k] == xs[:, k+1]; the wrap lane ww-1 is
+                # never indexed by a valid output)
                 for ch in range(n_ch):
                     x = src_vmem[ch, pz + dz + sz_s].astype(f32)
                     if pack:
                         nxt = pltpu.roll(x, ww - 1, 1)
                         x = _bitcast_f32(_bitcast_u32(x)
                                          | (_bitcast_u32(nxt) >> 16))
+                    else:
+                        xs_next.append(pltpu.roll(x, ww - 1, 1))
                     xs.append(x)
                 for po in range(n_out):
                     p = panels[po]
@@ -172,30 +178,42 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                                             p["wi1_p"], 0.0))
                             for ch in range(n_ch):
                                 rows_s = xs[ch][pr + s:pr + s + tile_h, :]
-                                colv = jnp.zeros((tile_h, LANE), f32)
-                                for qi, q in enumerate((po, po + 1)):
-                                    pan = rows_s[:, q * LANE:(q + 1) * LANE]
-                                    if pack:
-                                        g = jnp.take_along_axis(
-                                            pan, p["mod_p"], axis=1)
-                                        gu = _bitcast_u32(g)
-                                        vlo = _bitcast_f32(
-                                            gu & jnp.uint32(0xFFFF0000))
-                                        vhi = _bitcast_f32(gu << 16)
-                                        cv = (vlo * p["one_m_dj"]
-                                              + vhi * p["dj_p"])
-                                        colv += jnp.where(p["e_q"][qi],
-                                                          cv, 0.0)
-                                    else:
-                                        g0 = jnp.take_along_axis(
-                                            pan, p["mod_p"], axis=1)
-                                        g1 = jnp.take_along_axis(
-                                            pan, p["mod1_p"], axis=1)
-                                        colv += (
-                                            jnp.where(p["e_q"][qi], g0, 0.0)
-                                            * p["one_m_dj"]
-                                            + jnp.where(p["e1_q"][qi],
-                                                        g1, 0.0) * p["dj_p"])
+                                pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
+                                pan1 = rows_s[:, (po + 1) * LANE:
+                                              (po + 2) * LANE]
+                                if pack:
+                                    gu = jnp.where(
+                                        p["e0"],
+                                        _bitcast_u32(jnp.take_along_axis(
+                                            pan0, p["mod_p"], axis=1)),
+                                        _bitcast_u32(jnp.take_along_axis(
+                                            pan1, p["mod_p"], axis=1)))
+                                    vlo = _bitcast_f32(
+                                        gu & jnp.uint32(0xFFFF0000))
+                                    vhi = _bitcast_f32(gu << 16)
+                                    colv = (vlo * p["one_m_dj"]
+                                            + vhi * p["dj_p"])
+                                else:
+                                    rows_n = xs_next[ch][
+                                        pr + s:pr + s + tile_h, :]
+                                    g0 = jnp.where(
+                                        p["e0"],
+                                        jnp.take_along_axis(
+                                            pan0, p["mod_p"], axis=1),
+                                        jnp.take_along_axis(
+                                            pan1, p["mod_p"], axis=1))
+                                    g1 = jnp.where(
+                                        p["e0"],
+                                        jnp.take_along_axis(
+                                            rows_n[:, po * LANE:
+                                                   (po + 1) * LANE],
+                                            p["mod_p"], axis=1),
+                                        jnp.take_along_axis(
+                                            rows_n[:, (po + 1) * LANE:
+                                                   (po + 2) * LANE],
+                                            p["mod_p"], axis=1))
+                                    colv = (g0 * p["one_m_dj"]
+                                            + g1 * p["dj_p"])
                                 acc_vmem[ch * tile_h:(ch + 1) * tile_h,
                                          p["sl"]] += colv * contrib
 
