@@ -81,10 +81,14 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
     fn = make_step(cfg, donate=False)
     imp = scripted_swirl(cfg, 0)
 
+    # semilag/rk2 steps clamp dye to [0, 1] every step, so the render can
+    # drop the per-pixel lower clip (bit-exact for in-range inputs)
+    unit = cfg.advector in ("semilag", "rk2")
+
     def one(st):
         st = fn(st, imp)
         if render:
-            frame = render_rgb565(st.color, s=render_s)
+            frame = render_rgb565(st.color, s=render_s, unit_range=unit)
             # fold the frame into the dependency chain cheaply
             st = st._replace(step=st.step + (frame[0, 0] > jnp.uint16(0)))
         return st
@@ -130,9 +134,6 @@ def bench_smoke3d_steps(shape=(256, 256, 256), n=6):
     """BASELINE config 5 (3D half): smoke plume steps/sec on one chip."""
     from esp32_fluid_simulation_tpu.models.smoke3d import (
         SmokeConfig, init_smoke, make_smoke_step)
-    # advect_max_disp=2: the plume's |v|*dt stays ~0.1 cells (20x margin);
-    # the smaller CFL clamp shrinks the kernel's unrolled shift loops and
-    # halo windows (measured ~2x at 256^3)
     # scalar_dtype='bfloat16': density/temperature stored bf16 (the 3D
     # analogue of the 2D production config's bf16 dye); velocity and the
     # pressure solve stay f32.  Packed-pair bf16 gathers take the scalar
@@ -174,6 +175,35 @@ def bench_ref_scan_steps(n=300):
         st = fn(st, sched)
     _sync(st)
     return 3 * n / max(_t.time() - t0, 1e-9)
+
+
+def bench_ensemble_scan_steps(n_members=256, shape=(256, 256), n_steps=10,
+                              rounds=3):
+    """BASELINE config 4 through the public rollout API
+    (``make_ensemble_multi_step``): member-stack layout at the boundary,
+    supergrid inside the scan — layout conversion paid once per call, not
+    per step.  Same all-members-swirled forcing as the other two rows."""
+    import time as _t
+    from esp32_fluid_simulation_tpu import SimConfig
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        init_ensemble, make_ensemble_multi_step, stack_impulses)
+    from esp32_fluid_simulation_tpu.models.stable_fluids import stack_schedule
+    from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
+
+    cfg = SimConfig(shape=shape, scaling=1, color_dtype="bfloat16")
+    state = init_ensemble(cfg, n_members)
+    run = make_ensemble_multi_step(cfg, donate=False)
+    sched = stack_schedule([
+        stack_impulses([scripted_swirl(cfg, 7 * m + t)
+                        for m in range(n_members)])
+        for t in range(n_steps)])
+    _sync(run(state, sched))   # compile
+    t0 = _t.time()
+    st = state
+    for _ in range(rounds):
+        st = run(st, sched)
+    _sync(st)
+    return rounds * n_steps / max(_t.time() - t0, 1e-9)
 
 
 def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
@@ -347,6 +377,11 @@ def main():
         shape=(64, 64) if smoke else (256, 256), n=3 if smoke else 10,
         kernel=use_pallas)
     results["ensemble_tiled_path"] = 1.0 if use_pallas else 0.0
+    # ... and the public rollout API (scan; layout conversion once per call)
+    results["ensemble_scan_steps_per_s"] = bench_ensemble_scan_steps(
+        n_members=4 if smoke else 256,
+        shape=(64, 64) if smoke else (256, 256),
+        n_steps=2 if smoke else 10)
 
     results["us_per_sor_sweep_4096"] = bench_sor_sweep_us(shape=sor_shape,
                                                           n=3 if smoke else 10)

@@ -72,7 +72,9 @@ class SimPipeline:
                            [(vi, vj) for _, _, vi, vj in drags])
                        if drags else Impulses.none(self.cfg))
                 state = self._step_fn(state, imp)
-                frame = render_rgb565(state.color, s=s)  # async dispatch
+                frame = render_rgb565(  # async dispatch
+                    state.color, s=s,
+                    unit_range=self.cfg.advector in ("semilag", "rk2"))
                 # 1-slot publish: wait until the consumer took the previous
                 # frame; poll the stop flag so a dead consumer can't wedge us
                 while not self.handshake.producer_acquire(timeout_ms=200):

@@ -74,17 +74,25 @@ def pack_rgb565(rgb: jax.Array, bswap: bool = True) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("s", "bswap"))
-def render_rgb565(color: jax.Array, s: int = 4, bswap: bool = True):
+def render_rgb565(color: jax.Array, s: int = 4, bswap: bool = True,
+                  unit_range: bool = False):
     """Full on-device render: upscale + RGB565 pack.
 
     Large upscales on TPU dispatch to the fused Pallas kernel
     (``render.pallas_upscale``, bit-exact vs this path and ~3.5x faster at
-    4096^2 -> 16384^2: only uint16 pixels touch HBM)."""
+    4096^2 -> 16384^2: only uint16 pixels touch HBM).
+
+    ``unit_range=True`` asserts ``color`` lies in [0, 1] — true for any
+    stepped state of a ``semilag``/``rk2`` config, whose dye is clamped
+    every step (``models.stable_fluids.step``), and for ``init_state``
+    output — and lets the kernel drop the per-pixel lower clip.  Bit-exact
+    for in-range inputs; out-of-range inputs render differently."""
     h, w = color.shape[-2], color.shape[-1]
     if (s > 1 and jax.default_backend() == "tpu"
             and (h - 1) * (w - 1) * s * s >= 1_000_000):
         from .pallas_upscale import render_rgb565_pallas
-        return render_rgb565_pallas(color, s=s, bswap=bswap)
+        return render_rgb565_pallas(color, s=s, bswap=bswap,
+                                    unit_range=unit_range)
     return pack_rgb565(upscale_bilinear(color, s), bswap=bswap)
 
 
