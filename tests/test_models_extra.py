@@ -258,6 +258,36 @@ def test_ensemble_auto_tiled_matches_vmap():
     assert np.asarray(sa.step).shape == (n,)
 
 
+def test_ensemble_multi_step_matches_stepwise():
+    """make_ensemble_multi_step (scan rollout, one layout conversion per
+    call) == iterating make_ensemble_step, on both routes."""
+    from esp32_fluid_simulation_tpu.models.ensemble import (
+        make_ensemble_multi_step)
+    from esp32_fluid_simulation_tpu.models.stable_fluids import stack_schedule
+    cfg = SimConfig(shape=(32, 32), sor_iters=4, max_impulses=2)
+    n = 4
+    st = init_ensemble(cfg, n)
+    per_step = [stack_impulses(
+        [Impulses.from_lists(cfg, [(8 + k + t, 9)], [(40.0, -30.0 + k)])
+         for k in range(n)]) for t in range(3)]
+    schedule = stack_schedule(per_step)
+    for mode in ("auto", "vmap"):
+        run = make_ensemble_multi_step(cfg, donate=False, mode=mode)
+        out = run(st, schedule)
+        ref = st
+        sfn = make_ensemble_step(cfg, donate=False, mode=mode)
+        for imp in per_step:
+            ref = sfn(ref, imp)
+        np.testing.assert_allclose(np.asarray(out.velocity),
+                                   np.asarray(ref.velocity),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.color, np.float32),
+                                   np.asarray(ref.color, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.asarray(out.step).shape == (n,)
+        assert int(np.asarray(out.step)[0]) == 3
+
+
 def test_ensemble_mode_tiled_rejects_incompatible():
     import pytest as _pytest
     cfg = SimConfig(shape=(32, 32), vorticity_eps=1.0)
