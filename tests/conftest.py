@@ -92,6 +92,7 @@ _SLOW = {
     ("test_pallas.py", "test_project_fused_matches_composed"),
     ("test_pallas.py", "test_advect_pallas_static_unroll"),
     ("test_pallas.py", "test_advect_pallas_panel_boundary_select"),
+    ("test_pallas.py", "test_advect3d_pallas_panel_boundary_select"),
     ("test_pallas.py", "test_fd3d_kernels_match_jnp"),
 }
 

@@ -301,6 +301,34 @@ def test_advect3d_pallas_matches_jnp(rng):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_advect3d_pallas_panel_boundary_select(rng):
+    """3D analogue of the panel-boundary test: constant column velocities
+    drive every output's source column across the 128-lane panel boundary,
+    exercising the 3D kernel's one-hot source-panel select (f32 rolled
+    second tap and packed bf16), vs the jnp op."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect3d import advect3d_pallas
+    shape = (4, 8, 384)
+    f = jnp.asarray(rng.random(shape, dtype=F))
+    fb = f.astype(jnp.bfloat16)
+    dt = 1 / 30.
+    for cells in (3.0, 3.5, -3.5, -3.984375):
+        v = jnp.stack([jnp.zeros(shape, F), jnp.zeros(shape, F),
+                       jnp.full(shape, F(cells / dt))])
+        want = advect(f, v, dt, False)
+        got = advect3d_pallas(f, v, dt, False, max_disp=4, tile_d=2,
+                              tile_h=8, tile_w=256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"cells={cells}")
+        got_b = advect3d_pallas(fb, v, dt, False, max_disp=4, tile_d=2,
+                                tile_h=8, tile_w=256)
+        want_b = advect(fb, v, dt, False)
+        np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                                   np.asarray(want_b, np.float32),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"cells={cells} (bf16)")
+
+
 def test_advect_maccormack_pallas_matches_jnp(rng):
     """Kernel-backed MacCormack (in-kernel stencil extrema + backward pass)
     == ops.advect.advect_maccormack for in-clamp velocities."""
