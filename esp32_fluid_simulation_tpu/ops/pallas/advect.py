@@ -268,9 +268,11 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
             @pl.when(jnp.logical_and(smin <= s, s <= smax + 1))
             def _(s=s, po=po, sl=sl):
                 # shift s serves rows with i0-row == s (weight 1-di) and
-                # rows with i0+1-row == s (weight di)
-                contrib = (jnp.where(rel_p == s, w0_p, 0.0)
-                           + jnp.where(rel_p == s - 1, w1_p, 0.0))
+                # rows with i0+1-row == s (weight di); the two masks are
+                # disjoint, so a nested select == the masked sum bit-exactly
+                # (weights are never -0.0) with one fewer add
+                contrib = jnp.where(rel_p == s, w0_p,
+                                    jnp.where(rel_p == s - 1, w1_p, 0.0))
                 if ret_minmax:
                     sel = jnp.logical_or(rel_p == s, rel_p == s - 1)
                 for ch in range(n_ch):

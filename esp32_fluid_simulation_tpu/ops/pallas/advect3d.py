@@ -165,17 +165,18 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                     xs.append(x)
                 for po in range(n_out):
                     p = panels[po]
-                    zcontrib = (
-                        jnp.where(p["rz_p"] == sz_s, p["wz0_p"], 0.0)
-                        + jnp.where(p["rz_p"] == sz_s - 1, p["wz1_p"], 0.0))
+                    # disjoint masks: nested select == masked sum bit-exactly
+                    zcontrib = jnp.where(
+                        p["rz_p"] == sz_s, p["wz0_p"],
+                        jnp.where(p["rz_p"] == sz_s - 1, p["wz1_p"], 0.0))
                     for s in range(-max_disp, max_disp + 2):
                         @pl.when(jnp.logical_and(p["smin"] <= s,
                                                  s <= p["smax"] + 1))
                         def _(s=s, po=po, p=p, zcontrib=zcontrib, xs=xs):
-                            contrib = zcontrib * (
-                                jnp.where(p["ri_p"] == s, p["wi0_p"], 0.0)
-                                + jnp.where(p["ri_p"] == s - 1,
-                                            p["wi1_p"], 0.0))
+                            contrib = zcontrib * jnp.where(
+                                p["ri_p"] == s, p["wi0_p"],
+                                jnp.where(p["ri_p"] == s - 1,
+                                          p["wi1_p"], 0.0))
                             for ch in range(n_ch):
                                 rows_s = xs[ch][pr + s:pr + s + tile_h, :]
                                 pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
