@@ -63,12 +63,25 @@ def run_ensemble(args, cfg):
                                   stack_impulses)
     n = args.ensemble
     state = init_ensemble(cfg, n)
-    step_fn = make_ensemble_step(cfg, donate=False)
-    for t in range(args.steps):
-        imps = [scripted_swirl(cfg, t + 7 * m, speed=args.impulse_speed)
-                if args.impulses == "swirl" else Impulses.none(cfg)
-                for m in range(n)]
-        state = step_fn(state, stack_impulses(imps))
+
+    def member_imps(t):
+        return stack_impulses(
+            [scripted_swirl(cfg, t + 7 * m, speed=args.impulse_speed)
+             if args.impulses == "swirl" else Impulses.none(cfg)
+             for m in range(n)])
+
+    if args.steps > 1:
+        # scan rollout: whole schedule uploads once, layout conversion paid
+        # once per call instead of per step
+        from .models.ensemble import make_ensemble_multi_step
+        from .models.stable_fluids import stack_schedule
+        run_fn = make_ensemble_multi_step(cfg, donate=False)
+        sched = stack_schedule([member_imps(t) for t in range(args.steps)])
+        state = run_fn(state, sched)
+    else:
+        step_fn = make_ensemble_step(cfg, donate=False)
+        for t in range(args.steps):
+            state = step_fn(state, member_imps(t))
     jax.block_until_ready(state.velocity)
     if args.frame:
         img = np.moveaxis(np.asarray(render_rgb8(state.color[0],
