@@ -83,7 +83,7 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
 
     # semilag/rk2 steps clamp dye to [0, 1] every step, so the render can
     # drop the per-pixel lower clip (bit-exact for in-range inputs)
-    unit = cfg.advector in ("semilag", "rk2")
+    unit = cfg.clamps_dye
 
     def one(st):
         st = fn(st, imp)

@@ -124,6 +124,13 @@ class SimConfig:
         s = self.scaling
         return ((h - 1) * s, (w - 1) * s)
 
+    @property
+    def clamps_dye(self) -> bool:
+        """True when ``step`` clamps the dye to [0, 1] every step (semilag /
+        rk2 — see ``models.stable_fluids.step``), i.e. stepped color is
+        always in range and renders may use ``unit_range=True``."""
+        return self.advector in ("semilag", "rk2")
+
     # -- (de)serialization (the reference's off-device harness kept a
     #    ``sim_params.json``, ``.gitignore:8``) ---------------------------
     def to_json(self) -> str:

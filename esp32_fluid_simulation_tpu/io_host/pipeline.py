@@ -74,7 +74,7 @@ class SimPipeline:
                 state = self._step_fn(state, imp)
                 frame = render_rgb565(  # async dispatch
                     state.color, s=s,
-                    unit_range=self.cfg.advector in ("semilag", "rk2"))
+                    unit_range=self.cfg.clamps_dye)
                 # 1-slot publish: wait until the consumer took the previous
                 # frame; poll the stop flag so a dead consumer can't wedge us
                 while not self.handshake.producer_acquire(timeout_ms=200):

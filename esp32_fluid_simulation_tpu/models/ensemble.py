@@ -72,6 +72,37 @@ def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
         vals.astype(vel.dtype), mode="drop")
 
 
+def _resolve_tiled(cfg: SimConfig, mode: str) -> bool:
+    """Shared mode validation for the ensemble builders."""
+    if mode not in ("auto", "vmap", "tiled"):
+        raise ValueError(f"unknown ensemble mode {mode!r}")
+    if mode == "tiled" and not _tiled_compatible(cfg):
+        raise ValueError("config is not tiled-ensemble compatible "
+                         "(needs 2D semilag, no vorticity, sor/fused "
+                         "solver)")
+    return _tiled_compatible(cfg) if mode == "auto" else mode == "tiled"
+
+
+def _to_super(state: SimState, cfg_super: SimConfig) -> SimState:
+    """Member-stack [n, C, mh, mw] state -> one supergrid state."""
+    from .stable_fluids import _from_members
+    H, W = cfg_super.shape
+    return SimState(
+        velocity=_from_members(state.velocity, H, W),
+        color=_from_members(state.color, H, W),
+        step=state.step[0] if state.step.ndim else state.step)
+
+
+def _from_super(out: SimState, cfg: SimConfig, n: int) -> SimState:
+    """Supergrid state -> member-stack [n, C, mh, mw] state."""
+    from .stable_fluids import _to_members
+    mh, mw = cfg.shape
+    return SimState(
+        velocity=_to_members(out.velocity, mh, mw),
+        color=_to_members(out.color, mh, mw),
+        step=jnp.broadcast_to(out.step, (n,)))
+
+
 def make_ensemble_step(cfg: SimConfig, donate: bool = True,
                        mode: str = "auto"):
     """Batched step: (SimState[n, ...], Impulses[n, ...]) -> SimState.
@@ -82,37 +113,21 @@ def make_ensemble_step(cfg: SimConfig, donate: bool = True,
     BASELINE config 4 scale; VERDICT r2 weak #5).  ``"vmap"`` forces the
     batched-small-programs path (also the parity oracle); ``"tiled"``
     requires a compatible config."""
-    if mode not in ("auto", "vmap", "tiled"):
-        raise ValueError(f"unknown ensemble mode {mode!r}")
-    use_tiled = (_tiled_compatible(cfg) if mode == "auto"
-                 else mode == "tiled")
-    if use_tiled and mode == "tiled" and not _tiled_compatible(cfg):
-        raise ValueError("config is not tiled-ensemble compatible "
-                         "(needs 2D semilag, no vorticity, sor/fused "
-                         "solver)")
-    if not use_tiled:
+    if not _resolve_tiled(cfg, mode):
         fn = jax.vmap(functools.partial(step, cfg=cfg))
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
-    from .stable_fluids import _step_tiled, _to_members, _from_members
+    from .stable_fluids import _step_tiled
 
     def fn(state: SimState, imps: Impulses) -> SimState:
         n = state.velocity.shape[0]
         cfg_super, gh, gw = tiled_ensemble_config(cfg, n)
         mh, mw = cfg.shape
-        H, W = cfg_super.shape
-        sup = SimState(
-            velocity=_from_members(state.velocity, H, W),
-            color=_from_members(state.color, H, W),
-            step=state.step[0] if state.step.ndim else state.step)
         apply_fn = functools.partial(_apply_member_impulses, imp=imps,
                                      gh=gh, gw=gw, mh=mh, mw=mw)
-        out = _step_tiled(sup, None, cfg_super,
+        out = _step_tiled(_to_super(state, cfg_super), None, cfg_super,
                           apply_fn=lambda v: apply_fn(v))
-        return SimState(
-            velocity=_to_members(out.velocity, mh, mw),
-            color=_to_members(out.color, mh, mw),
-            step=jnp.broadcast_to(out.step, (n,)))
+        return _from_super(out, cfg, n)
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
@@ -130,15 +145,7 @@ def make_ensemble_multi_step(cfg: SimConfig, donate: bool = True,
     half the step cost at BASELINE config 4 scale — and the whole forcing
     schedule uploads in one transfer (the ensemble analogue of
     ``make_multi_step``)."""
-    if mode not in ("auto", "vmap", "tiled"):
-        raise ValueError(f"unknown ensemble mode {mode!r}")
-    use_tiled = (_tiled_compatible(cfg) if mode == "auto"
-                 else mode == "tiled")
-    if use_tiled and mode == "tiled" and not _tiled_compatible(cfg):
-        raise ValueError("config is not tiled-ensemble compatible "
-                         "(needs 2D semilag, no vorticity, sor/fused "
-                         "solver)")
-    if not use_tiled:
+    if not _resolve_tiled(cfg, mode):
         sfn = jax.vmap(functools.partial(step, cfg=cfg))
 
         def run(state: SimState, schedule: Impulses) -> SimState:
@@ -148,17 +155,12 @@ def make_ensemble_multi_step(cfg: SimConfig, donate: bool = True,
 
         return jax.jit(run, donate_argnums=(0,) if donate else ())
 
-    from .stable_fluids import _step_tiled, _to_members, _from_members
+    from .stable_fluids import _step_tiled
 
     def run(state: SimState, schedule: Impulses) -> SimState:
         n = state.velocity.shape[0]
         cfg_super, gh, gw = tiled_ensemble_config(cfg, n)
         mh, mw = cfg.shape
-        H, W = cfg_super.shape
-        sup = SimState(
-            velocity=_from_members(state.velocity, H, W),
-            color=_from_members(state.color, H, W),
-            step=state.step[0] if state.step.ndim else state.step)
 
         def body(st, imp):
             apply_fn = functools.partial(_apply_member_impulses, imp=imp,
@@ -166,11 +168,8 @@ def make_ensemble_multi_step(cfg: SimConfig, donate: bool = True,
             return _step_tiled(st, None, cfg_super,
                                apply_fn=lambda v: apply_fn(v)), None
 
-        out, _ = jax.lax.scan(body, sup, schedule)
-        return SimState(
-            velocity=_to_members(out.velocity, mh, mw),
-            color=_to_members(out.color, mh, mw),
-            step=jnp.broadcast_to(out.step, (n,)))
+        out, _ = jax.lax.scan(body, _to_super(state, cfg_super), schedule)
+        return _from_super(out, cfg, n)
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 

@@ -228,7 +228,7 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
 
     vel = _project(vel, cfg)
 
-    clip = cfg.advector in ("semilag", "rk2")
+    clip = cfg.clamps_dye
     if clip and getattr(adv, "fuses_clip01", False):
         # dye clamp fused into the kernel store (saves one HBM pass)
         color = adv(state.color, vel, cfg.dt, no_slip=False, clip01=True)

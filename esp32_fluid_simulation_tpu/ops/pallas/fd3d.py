@@ -25,22 +25,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .rb_common import _iota2, fold_planes
+
 LANE = 128
 PR = 8  # aligned row halo (1 ring used)
 
 
-def _iota2(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
-
-
 def _fold(win_vmem, ch, nz):
-    planes = [win_vmem[ch, z].astype(jnp.float32) for z in range(nz)]
-    return jnp.concatenate(planes, axis=0) if nz > 1 else planes[0]
+    return fold_planes(win_vmem, nz, ch=ch)
 
 
 def _fold1(win_vmem, nz):
-    planes = [win_vmem[z].astype(jnp.float32) for z in range(nz)]
-    return jnp.concatenate(planes, axis=0) if nz > 1 else planes[0]
+    return fold_planes(win_vmem, nz)
 
 
 def _coords(z0, row0, col0, nz, rh, wl, d, h, w):
@@ -129,7 +125,7 @@ def _grad3d_kernel(p_hbm, vblk_ref, out_ref, pwin, sem, *, dx, tile_d,
                 out_ref.dtype)
 
 
-def _pad3(x, td, th, tw, dp, hp, wp):
+def _pad3(x, dp, hp, wp):
     bd, bh, bw = x.shape[-3:]
     pads = ((1, 1 + dp - bd), (PR, PR + hp - bh), (LANE, LANE + wp - bw))
     if x.ndim == 4:
@@ -149,7 +145,7 @@ def divergence3d_pallas(vel: jax.Array, dx: float = 1.0, tile_d: int = 16,
     dp = pl.cdiv(bd, td) * td
     hp = pl.cdiv(bh, th) * th
     wp = pl.cdiv(bw, tw) * tw
-    vpad = _pad3(vel, td, th, tw, dp, hp, wp)
+    vpad = _pad3(vel, dp, hp, wp)
     kernel = functools.partial(_div3d_kernel, dx=dx, tile_d=td, tile_h=th,
                                tile_w=tw, d=bd, h=bh, w=bw)
     win = (3, td + 2, th + 2 * PR, tw + 2 * LANE)
@@ -180,7 +176,7 @@ def subtract_gradient3d_pallas(vel: jax.Array, p: jax.Array,
     dp = pl.cdiv(bd, td) * td
     hp = pl.cdiv(bh, th) * th
     wp = pl.cdiv(bw, tw) * tw
-    ppad = _pad3(p, td, th, tw, dp, hp, wp)
+    ppad = _pad3(p, dp, hp, wp)
     vpad = jnp.pad(vel, ((0, 0), (0, dp - bd), (0, hp - bh), (0, wp - bw)))
     kernel = functools.partial(_grad3d_kernel, dx=dx, tile_d=td, tile_h=th,
                                tile_w=tw, d=bd, h=bh, w=bw)

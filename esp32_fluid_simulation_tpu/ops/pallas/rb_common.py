@@ -38,6 +38,15 @@ def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def fold_planes(win_vmem, nz, ch=None):
+    """Read ``nz`` z-planes of a VMEM window as one folded ``(nz*rows, w)``
+    f32 value (the 3D kernels' z-in-sublanes layout; shared by fd3d/sor3d).
+    ``ch``: optional leading channel index."""
+    src = win_vmem if ch is None else win_vmem[ch]
+    planes = [src[z].astype(jnp.float32) for z in range(nz)]
+    return jnp.concatenate(planes, axis=0) if nz > 1 else planes[0]
+
+
 def _row_parity(rows, width, base):
     """(rows, width) int32: (row index + base) % 2, base a traced scalar."""
     return (_iota2((rows, width), 0) + base) % 2

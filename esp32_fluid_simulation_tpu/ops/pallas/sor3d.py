@@ -37,19 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rb_common import deinterleave_parity, interleave_parity
+from .rb_common import (_iota2, deinterleave_parity, fold_planes,
+                        interleave_parity)
 
 LANE = 128
 
 
-def _iota2(shape, dim):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
-
-
 def _fold(win_vmem, nz, rh, wl):
     """Read a (nz, rh, wl) VMEM window as a folded (nz*rh, wl) f32 value."""
-    planes = [win_vmem[z].astype(jnp.float32) for z in range(nz)]
-    return jnp.concatenate(planes, axis=0) if nz > 1 else planes[0]
+    return fold_planes(win_vmem, nz)
 
 
 def _sor3d_kernel(goff_ref, d_hbm, p_hbm, pout_hbm, dwin, pwin, tout,
@@ -189,6 +185,13 @@ def _sor3d_geometry(shape, halo_sweeps, tile_d, tile_h, tile_w):
     """Tile/pad geometry sized for ``halo_sweeps`` sweeps per launch."""
     bd, bh, bw = shape
     need = 2 * halo_sweeps
+    if need > LANE:
+        # pz/pr scale with the chunk but the lane halo is one fixed panel;
+        # a longer chunk would let edge garbage reach owned columns and
+        # return a silently wrong solve (code-review r3)
+        raise ValueError(
+            f"chunk={halo_sweeps} needs a {need}-lane column halo > the "
+            f"fixed {LANE}-lane panel; use chunk <= {LANE // 2}")
     pz = need
     pr = pl.cdiv(need, 8) * 8
     pc = LANE

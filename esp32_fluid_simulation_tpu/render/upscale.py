@@ -73,7 +73,7 @@ def pack_rgb565(rgb: jax.Array, bswap: bool = True) -> jax.Array:
     return word.astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "bswap"))
+@functools.partial(jax.jit, static_argnames=("s", "bswap", "unit_range"))
 def render_rgb565(color: jax.Array, s: int = 4, bswap: bool = True,
                   unit_range: bool = False):
     """Full on-device render: upscale + RGB565 pack.

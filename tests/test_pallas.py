@@ -404,6 +404,15 @@ def test_sor3d_packed_matches_jnp(rng, shape, kw):
         np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-6)
 
 
+def test_sor3d_chunk_exceeding_lane_halo_rejected(rng):
+    """chunk > 64 would out-run the fixed 128-lane column halo and return a
+    silently wrong solve (code-review r3) — must raise."""
+    from esp32_fluid_simulation_tpu.ops.pallas.sor3d import sor3d_packed_pallas
+    d = jnp.asarray(rng.standard_normal((8, 16, 128)).astype(F))
+    with pytest.raises(ValueError, match="column halo"):
+        sor3d_packed_pallas(d, 1.0, 130, 1.5, chunk=65)
+
+
 @pytest.mark.slow
 def test_fd3d_kernels_match_jnp(rng):
     """3D divergence / gradient-subtract kernels (ops/pallas/fd3d) == the

@@ -71,6 +71,25 @@ def test_render_jits_and_rgb8():
     assert img.shape == (3, 240, 320) and img.dtype == jnp.uint8
 
 
+def test_render_rgb565_unit_range_pallas_dispatch(rng, monkeypatch):
+    """render_rgb565(unit_range=...) through the TPU Pallas dispatch branch
+    (forced on CPU via interpret mode): unit_range must be jit-static — a
+    traced bool crashed the production render path (code-review r3) — and
+    bit-exact vs the default for in-range dye."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from esp32_fluid_simulation_tpu.render import upscale as up
+    monkeypatch.setattr(up.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    c = jnp.asarray(rng.random((3, 252, 252), dtype=F))  # >= 1e6 out pixels
+    a = np.asarray(up.render_rgb565(c, s=4, unit_range=True))
+    b = np.asarray(up.render_rgb565(c, s=4, unit_range=False))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1004, 1004)
+
+
 def test_uq32_roundtrip(rng):
     x = rng.random(1000).astype(F)
     raw = float_to_uq32(x)

@@ -14,12 +14,8 @@ Run from the repo root:  python tools/gen_golden_paths.py
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -76,6 +72,11 @@ def gen_smoke():
 
 
 def main():
+    # Pin CPU only when RUN as a generator — at import time (the test module
+    # shares CONFIGS/STEPS/schedule) this would silently force the whole
+    # pytest process off the TPU (code-review r3).  The goldens are CPU
+    # artifacts; CI's conftest pins CPU for the comparison.
+    jax.config.update("jax_platforms", "cpu")
     os.makedirs(OUT, exist_ok=True)
     for name, cfg in CONFIGS.items():
         gen_2d(name, cfg)
