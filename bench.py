@@ -278,6 +278,31 @@ def bench_sor_sweep_us(shape=(4097, 4097), iters=10, n=10):
     return max(per_solve, 1e-9) / iters * 1e6
 
 
+def wait_for_tpu(max_wait_s=1800, probe_timeout_s=120, interval_s=60):
+    """Block until the tunneled TPU answers a tiny op, up to ``max_wait_s``.
+
+    The tunnel has multi-hour outages during which ANY in-process backend
+    touch hangs forever (even ``jax.devices()``), so health is probed in
+    killable subprocesses.  Returns True when healthy; False on timeout —
+    the caller should emit an explicit error JSON instead of hanging the
+    driver's capture."""
+    deadline = time.time() + max_wait_s
+    src = "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); " \
+          "print(float((x @ x)[0, 0]))"
+    while True:
+        try:
+            out = subprocess.run([sys.executable, "-c", src],
+                                 capture_output=True, text=True,
+                                 timeout=probe_timeout_s)
+            if out.returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, Exception):
+            pass
+        if time.time() >= deadline:
+            return False
+        time.sleep(interval_s)
+
+
 def main():
     import os
     from esp32_fluid_simulation_tpu import SimConfig
@@ -285,6 +310,14 @@ def main():
     # BENCH_SMOKE=1: tiny shapes / no subprocess probe, for CI mechanics
     # checks on CPU.  Real runs use the full sizes on the chip.
     smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if not smoke and not wait_for_tpu():
+        # an explicit error line beats wedging the capture: the first
+        # in-process device touch would otherwise hang unkillably
+        print(json.dumps({
+            "metric": "sim+render FPS at 4096^2 (one chip)", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable after 30 min of probes"}))
+        sys.exit(1)
     big_shape = (256, 256) if smoke else (4096, 4096)
     sor_shape = (257, 257) if smoke else (4097, 4097)
     n_ref, n_big = (5, 3) if smoke else (50, 10)
