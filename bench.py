@@ -85,13 +85,22 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
     # drop the per-pixel lower clip (bit-exact for in-range inputs)
     unit = cfg.clamps_dye
 
-    def one(st):
+    @jax.jit
+    def step_render(st):
+        # ONE device program per frame (the jitted step and render inline
+        # into the outer jit): halves the per-frame dispatches — the
+        # tunnel's dispatch latency dominates small grids.  The frame is a
+        # program OUTPUT (not folded into the chain): an output buffer is
+        # always fully materialized, whereas consuming one pixel inside the
+        # fused program would let XLA dead-code-eliminate the jnp-path
+        # render down to that pixel.
         st = fn(st, imp)
-        if render:
-            frame = render_rgb565(st.color, s=render_s, unit_range=unit)
-            # fold the frame into the dependency chain cheaply
-            st = st._replace(step=st.step + (frame[0, 0] > jnp.uint16(0)))
-        return st
+        if not render:
+            return st, ()
+        return st, render_rgb565(st.color, s=render_s, unit_range=unit)
+
+    def one(st):
+        return step_render(st)[0]
 
     one(state)  # compile
     _sync(state)

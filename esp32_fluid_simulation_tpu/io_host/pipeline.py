@@ -49,6 +49,17 @@ class SimPipeline:
         self._frame_slot = None
         self._stop = threading.Event()
         self._step_fn = make_step(cfg, donate=False)
+        s = cfg.scaling
+        unit = cfg.clamps_dye
+
+        @jax.jit
+        def step_render(st, imp):
+            # one device program per frame (step + render inline): halves
+            # the per-frame dispatch latency through the tunnel
+            st = self._step_fn(st, imp)
+            return st, render_rgb565(st.color, s=s, unit_range=unit)
+
+        self._step_render_fn = step_render
         self._frames_done = 0
 
     # -- input side (touch_routine's role) --------------------------------
@@ -60,7 +71,6 @@ class SimPipeline:
     def _sim_thread(self, n_frames: int):
         state = init_state(self.cfg)
         pacer = FramePacer(self.fps)
-        s = self.cfg.scaling
         try:
             for _ in range(n_frames):
                 if self._stop.is_set():
@@ -71,10 +81,7 @@ class SimPipeline:
                            self.cfg, [(i, j) for i, j, _, _ in drags],
                            [(vi, vj) for _, _, vi, vj in drags])
                        if drags else Impulses.none(self.cfg))
-                state = self._step_fn(state, imp)
-                frame = render_rgb565(  # async dispatch
-                    state.color, s=s,
-                    unit_range=self.cfg.clamps_dye)
+                state, frame = self._step_render_fn(state, imp)
                 # 1-slot publish: wait until the consumer took the previous
                 # frame; poll the stop flag so a dead consumer can't wedge us
                 while not self.handshake.producer_acquire(timeout_ms=200):

@@ -68,6 +68,15 @@ class SimServer:
         self.fps = fps
         self.queue = DragQueue(16)
         self._step = make_step(cfg, donate=False)
+
+        @jax.jit
+        def _step_render(st, imp):
+            # one device program per frame (step + render inline): halves
+            # the per-frame dispatch latency through the tunnel
+            st = self._step(st, imp)
+            return st, render_rgb8(st.color, s=cfg.scaling)
+
+        self._step_render = _step_render
         self._frame_jpeg = b""
         self._frame_lock = threading.Condition()
         self._frame_no = 0
@@ -118,7 +127,6 @@ class SimServer:
     def _run_sim(self, n_frames=None):
         state = init_state(self.cfg)
         pacer = FramePacer(self.fps)
-        s = self.cfg.scaling
         # Warm up the with-impulses step variant AND Impulses.from_lists's
         # small device ops before serving: otherwise the FIRST user drag
         # stalls the sim thread for seconds of remote jit compilation
@@ -126,7 +134,7 @@ class SimServer:
         # (0, 0) is a no-op on the zero-velocity initial state.
         warm = Impulses.from_lists(self.cfg, [(0, 0)],
                                    [(0.0,) * self.cfg.ndim])
-        state = self._step(state, warm)
+        state, _ = self._step_render(state, warm)
         while not self._stop.is_set():
             drags = self.queue.drain(self.cfg.max_impulses)
             # queue entries are already sim-frame (i, j, vi, vj)
@@ -134,9 +142,8 @@ class SimServer:
                        self.cfg, [(i, j) for i, j, _, _ in drags],
                        [(vi, vj) for _, _, vi, vj in drags])
                    if drags else Impulses.none(self.cfg))
-            state = self._step(state, imp)
-            rgb = np.moveaxis(np.asarray(render_rgb8(state.color, s=s)),
-                              0, -1)
+            state, img = self._step_render(state, imp)
+            rgb = np.moveaxis(np.asarray(img), 0, -1)
             jpeg = self._encode(np.ascontiguousarray(rgb))
             with self._frame_lock:
                 self._frame_jpeg = jpeg
