@@ -371,10 +371,15 @@ def main():
 
     # Headline transparency: the reference renders at 4x upscale; report the
     # 4x-render variant alongside the s=1 headline (output 16384^2 pixels).
+    # Same best-of-3 spread treatment as the headline — this row IS the
+    # north-star check under the reference's own render semantics.
     if use_pallas and not smoke:
-        results["fps_4096_render4x"] = bench_step_fps(
-            SimConfig(**{**big_kwargs, "scaling": 4}), n=max(3, n_big // 2),
-            render=True, render_s=4)
+        r4x_cfg = SimConfig(**{**big_kwargs, "scaling": 4})
+        r4x = [bench_step_fps(r4x_cfg, n=max(3, n_big // 2),
+                              render=True, render_s=4)
+               for _ in range(3)]
+        results["fps_4096_render4x"] = max(r4x)
+        results["fps_4096_render4x_min"] = min(r4x)
 
     # 8192^2 on one chip (config 5's 2D grid, single-device scaling point):
     # bf16 dye + fused kernels; ~1.2 GB of state (VERDICT r2 missing #3).
