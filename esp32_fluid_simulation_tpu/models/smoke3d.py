@@ -132,14 +132,16 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
     if _use_pallas_advect3d(cfg):
         from ..ops.pallas.advect3d import advect3d_pallas
         md = cfg.advect_max_disp
-        # tile (8, 32): best of the on-device sweep at 256^3 (vel 9.7->8.8,
-        # scalars 6.3->3.6 ms vs the function's (4, 16) default)
-        tile = dict(tile_d=8, tile_h=32)
+        # Per-call tiles from the post-restructure on-device sweep at 256^3
+        # (2026-08-18; the round-2 winner (8, 32) re-measured 9.6/3.4 ms):
+        # the f32 no-slip velocity advect wants thin-deep (2, 64) windows
+        # (6.5 ms), the packed-bf16 scalar pair wants (2, 128) (1.3 ms).
         vel = advect3d_pallas(vel, vel, dt, no_slip=True, max_disp=md,
-                              **tile)
+                              tile_d=2, tile_h=64)
         # rho+temp share one backtrace (same velocity): one 2-channel call
         scal = advect3d_pallas(jnp.stack([rho, temp]), vel, dt,
-                               no_slip=False, max_disp=md, **tile)
+                               no_slip=False, max_disp=md,
+                               tile_d=2, tile_h=128)
         rho, temp = scal[0], scal[1]
     else:
         vel = advect(vel, vel, dt, no_slip=True)
