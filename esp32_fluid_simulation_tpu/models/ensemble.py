@@ -40,19 +40,16 @@ def _tiled_compatible(cfg: SimConfig) -> bool:
             and min(cfg.shape) >= 32)
 
 
-def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
-                           mh: int, mw: int):
-    """Batched per-member impulses onto the supergrid velocity.
+def _member_impulse_targets(imp: Impulses, gh: int, gw: int,
+                            mh: int, mw: int):
+    """[n, k] member impulses -> flat supergrid scatter targets.
 
-    ONE scatter for all (member, slot) points.  Members write to disjoint
-    tiles, so cross-member order is irrelevant; within a member, slot
-    order preserves the reference's queue-drain overwrite semantics
-    (``.ino:264-269``) — for duplicate positions the LAST active slot
-    wins.  Overwrites are resolved up front in [n, k] index space (k^2
-    tiny vector ops) and superseded/inactive slots are routed out of
-    bounds and dropped: a per-slot ``.at[].set`` loop costs 2k full-grid
-    passes (~12 ms/step on a 4096^2 supergrid, measured), this costs one
-    scatter."""
+    Within a member, slot order preserves the reference's queue-drain
+    overwrite semantics (``.ino:264-269``) — for duplicate positions the
+    LAST active slot wins.  Overwrites are resolved up front in [n, k]
+    index space (k^2 tiny vector ops); superseded/inactive slots are
+    routed to row ``gh*mh`` (out of bounds — scatter with mode="drop").
+    Returns ``(rows[n*k], cols[n*k], vals[nd, n*k])``."""
     n, k, nd = imp.pos.shape
     oi = (jnp.arange(n, dtype=jnp.int32) // gw) * mh   # [n] tile origins
     oj = (jnp.arange(n, dtype=jnp.int32) % gw) * mw
@@ -64,12 +61,22 @@ def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
     later = jnp.triu(jnp.ones((k, k), jnp.bool_), 1)[None]   # s' > s
     superseded = jnp.any(same & later & act[:, None, :], axis=2)
     write = act & ~superseded
-    H = gh * mh
-    rows = jnp.where(write, oi[:, None] + li, H)       # H = out of bounds
+    rows = jnp.where(write, oi[:, None] + li, gh * mh)  # OOB = dropped
     cols = oj[:, None] + lj
     vals = jnp.moveaxis(imp.velocity, 2, 0).reshape(nd, n * k)
-    return vel.at[:, rows.reshape(-1), cols.reshape(-1)].set(
-        vals.astype(vel.dtype), mode="drop")
+    return rows.reshape(-1), cols.reshape(-1), vals
+
+
+def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
+                           mh: int, mw: int):
+    """Batched per-member impulses onto the supergrid velocity.
+
+    ONE scatter for all (member, slot) points (members write to disjoint
+    tiles, so cross-member order is irrelevant): a per-slot ``.at[].set``
+    loop costs 2k full-grid passes (~12 ms/step on a 4096^2 supergrid,
+    measured), this costs one scatter."""
+    rows, cols, vals = _member_impulse_targets(imp, gh, gw, mh, mw)
+    return vel.at[:, rows, cols].set(vals.astype(vel.dtype), mode="drop")
 
 
 def _resolve_tiled(cfg: SimConfig, mode: str) -> bool:
@@ -81,6 +88,27 @@ def _resolve_tiled(cfg: SimConfig, mode: str) -> bool:
                          "(needs 2D semilag, no vorticity, sor/fused "
                          "solver)")
     return _tiled_compatible(cfg) if mode == "auto" else mode == "tiled"
+
+
+# vmap fallback becomes an error (not a silent ~100x slowdown) at this
+# member count when mode="auto" — measured at BASELINE config 4 scale the
+# batched-small-programs path runs ~0.4 whole-ensemble steps/s vs ~49
+# through the tiled supergrid (BENCH_r03).  Small ensembles stay quiet:
+# the vmap overhead only compounds at scale.
+_AUTO_VMAP_GUARD_N = 64
+
+
+def _guard_auto_vmap(cfg: SimConfig, n: int) -> None:
+    if n >= _AUTO_VMAP_GUARD_N:
+        raise ValueError(
+            f"mode='auto' fell back to the vmap ensemble path for n={n} "
+            f"members — this config ({cfg.advector=}, "
+            f"{cfg.vorticity_eps=}, {cfg.solver=}) is not tiled-supergrid "
+            f"compatible and the vmapped batch is ~100x slower at this "
+            f"scale (BENCH_r03: 0.4 vs 49 ensemble steps/s).  Pass "
+            f"mode='vmap' explicitly to accept that cost, or use a "
+            f"tiled-compatible member config (2D semilag, no vorticity, "
+            f"solver='sor'/'fused_pallas').")
 
 
 def _to_super(state: SimState, cfg_super: SimConfig) -> SimState:
@@ -114,7 +142,13 @@ def make_ensemble_step(cfg: SimConfig, donate: bool = True,
     batched-small-programs path (also the parity oracle); ``"tiled"``
     requires a compatible config."""
     if not _resolve_tiled(cfg, mode):
-        fn = jax.vmap(functools.partial(step, cfg=cfg))
+        vfn = jax.vmap(functools.partial(step, cfg=cfg))
+
+        def fn(state: SimState, imps: Impulses) -> SimState:
+            if mode == "auto":
+                _guard_auto_vmap(cfg, state.velocity.shape[0])
+            return vfn(state, imps)
+
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     from .stable_fluids import _step_tiled
@@ -149,6 +183,8 @@ def make_ensemble_multi_step(cfg: SimConfig, donate: bool = True,
         sfn = jax.vmap(functools.partial(step, cfg=cfg))
 
         def run(state: SimState, schedule: Impulses) -> SimState:
+            if mode == "auto":
+                _guard_auto_vmap(cfg, state.velocity.shape[0])
             out, _ = jax.lax.scan(
                 lambda st, imp: (sfn(st, imp), None), state, schedule)
             return out

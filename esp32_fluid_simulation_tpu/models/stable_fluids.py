@@ -81,23 +81,29 @@ def init_state(cfg: SimConfig) -> SimState:
 def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
     """Write drag velocities directly into cells (``.ino:264-269``).
 
-    Sequential fixed-length loop so later impulses overwrite earlier ones at
-    the same cell, exactly like draining the FreeRTOS queue in order.
-    Indices are clamped to the grid; inactive slots write back the old value.
+    ONE scatter for all slots.  Draining the FreeRTOS queue in order means
+    the LAST active slot wins at a duplicated cell; that overwrite order is
+    resolved up front in slot space (k^2 tiny vector ops, k=16) and
+    superseded/inactive slots are routed out of bounds and dropped.  The
+    per-slot ``.at[].set`` loop this replaces costs 2k full-grid passes
+    (~12 ms/step measured on a 4096^2 grid — the ensemble supergrid hit the
+    same wall first, see ``models.ensemble._apply_member_impulses``).
+    Indices are clamped to the grid, like the reference's calibration map.
     """
     nd = vel.shape[0]
     shape = vel.shape[1:]
     k = imp.pos.shape[0]
-
-    def body(n, v):
-        idx = tuple(
-            jnp.clip(imp.pos[n, a], 0, shape[a] - 1) for a in range(nd)
-        )
-        old = v[(slice(None),) + idx]
-        new = jnp.where(imp.active[n], imp.velocity[n].astype(v.dtype), old)
-        return v.at[(slice(None),) + idx].set(new)
-
-    return jax.lax.fori_loop(0, k, body, vel, unroll=True)
+    idx = tuple(jnp.clip(imp.pos[:, a], 0, shape[a] - 1) for a in range(nd))
+    act = imp.active
+    same = idx[0][:, None] == idx[0][None, :]
+    for ax in range(1, nd):
+        same &= idx[ax][:, None] == idx[ax][None, :]
+    later = jnp.triu(jnp.ones((k, k), jnp.bool_), 1)      # s' > s
+    superseded = jnp.any(same & later & act[None, :], axis=1)
+    write = act & ~superseded
+    rows = jnp.where(write, idx[0], shape[0])             # OOB -> dropped
+    vals = imp.velocity.T.astype(vel.dtype)               # [nd, k]
+    return vel.at[(slice(None), rows) + idx[1:]].set(vals, mode="drop")
 
 
 def _use_pallas_advect(cfg: SimConfig) -> bool:

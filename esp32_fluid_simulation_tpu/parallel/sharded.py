@@ -83,6 +83,15 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, max_disp: int = 12,
     halo_k = sor_halo
     if cfg.ndim != 2:
         raise NotImplementedError("sharded step is 2D for now")
+    if cfg.domain_tile is not None:
+        # Running a tiled-domain config as a plain single-domain sharded
+        # step would silently drop every member-wall boundary condition
+        # (wrong physics, no error) — refuse instead.  The sharded tiled
+        # supergrid lives in make_sharded_tiled_step.
+        raise NotImplementedError(
+            "make_sharded_step does not run domain_tile configs; use "
+            "parallel.sharded_tiled.make_sharded_tiled_step (kernel block "
+            "mode composes with member walls) or a single device")
     if cfg.advector not in ("semilag", "maccormack", "rk2"):
         raise NotImplementedError(
             f"sharded step supports advector='semilag'/'maccormack'/'rk2', "
