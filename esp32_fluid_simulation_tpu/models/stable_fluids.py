@@ -228,30 +228,45 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
     adv = _advect_by(cfg)
 
     vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    # Production fast path: the fused projection kernel drains the drag
+    # queue in-window (same .ino:258-278 order, bit-identical result),
+    # saving the standalone scatter's full velocity HBM round trip.
+    # Vorticity confinement sits between impulses and projection when
+    # enabled, so that path keeps the composed order.
+    if cfg.solver == "fused_pallas" and cfg.vorticity_eps == 0.0:
+        vel = _project(vel, cfg, impulses=impulses)
+        color = _advect_color(adv, state.color, vel, cfg)
+        return SimState(velocity=vel, color=color, step=state.step + 1)
     vel = apply_impulses(vel, impulses)
     if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
 
     vel = _project(vel, cfg)
 
-    clip = cfg.clamps_dye
-    if clip and getattr(adv, "fuses_clip01", False):
-        # dye clamp fused into the kernel store (saves one HBM pass)
-        color = adv(state.color, vel, cfg.dt, no_slip=False, clip01=True)
-    else:
-        color = adv(state.color, vel, cfg.dt, no_slip=False)
-        color = jnp.clip(color, 0.0, 1.0) if clip else color
-
+    color = _advect_color(adv, state.color, vel, cfg)
     return SimState(velocity=vel, color=color, step=state.step + 1)
 
 
-def _project(vel: jax.Array, cfg: SimConfig) -> jax.Array:
+def _advect_color(adv, color, vel, cfg: SimConfig):
+    clip = cfg.clamps_dye
+    if clip and getattr(adv, "fuses_clip01", False):
+        # dye clamp fused into the kernel store (saves one HBM pass)
+        return adv(color, vel, cfg.dt, no_slip=False, clip01=True)
+    color = adv(color, vel, cfg.dt, no_slip=False)
+    return jnp.clip(color, 0.0, 1.0) if clip else color
+
+
+def _project(vel: jax.Array, cfg: SimConfig,
+             impulses: Impulses | None = None) -> jax.Array:
     """Pressure projection (``.ino:271-278``): composed ops, or the fully
-    fused div->SOR->grad Pallas kernel (one velocity read/write)."""
+    fused div->SOR->grad Pallas kernel (one velocity read/write; with
+    ``impulses``, the queue drain rides the same window read)."""
     if cfg.solver == "fused_pallas":
         from ..ops.pallas.project import project_fused_pallas
-        vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega)
+        vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
+                                      impulses=impulses)
         return vel
+    assert impulses is None  # composed path applies them before the call
     div = divergence(vel, cfg.dx)
     p = poisson_solve(div, cfg)
     return subtract_gradient(vel, p, cfg.dx)

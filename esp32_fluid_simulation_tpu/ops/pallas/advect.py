@@ -334,6 +334,175 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                                        :].astype(mx_ref.dtype)
 
 
+def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
+                               max_disp, tile_h, tile_w, pr, h, w, bh,
+                               no_slip, pack, ret_minmax, member=None,
+                               clip01=False):
+    """Panel kernel with the loop order swapped (variant "sloop"):
+    shift outside, panels inside.
+
+    The "panel" kernel evaluates a ``pl.when`` guard per (panel, slot) —
+    ``(tile_w/128) * (2*max_disp+2)`` = 208 guard evaluations per tile at
+    the production shape, and the guard machinery alone costs ~44 us per
+    empty slot across a 4096^2 grid (~1 ms of a 4 ms velocity advect —
+    measured round 4, tools/advect_cost_probe.py: md4 vs md12 at identical
+    occupancy).  Here a TILE-wide guard prunes each shift slot first, so
+    per-panel guards only run for shifts actually present somewhere in the
+    tile: 26 + 8*active vs 8*26 evaluations.  Per-panel work and its
+    ascending-shift accumulation order are unchanged -> bit-exact vs
+    "panel".  A dynamic-slice ``fori_loop`` walk (only the occupied range,
+    no guards at all) was tried first: Mosaic requires sublane starts
+    provably divisible by 8, and the shift offset isn't.
+    """
+    if ret_minmax:
+        (out_ref, mn_ref, mx_ref, src_vmem, acc_vmem, mn_vmem, mx_vmem,
+         sem) = rest
+    else:
+        out_ref, src_vmem, acc_vmem, sem = rest
+    n_ch = src_vmem.shape[0]
+    ww = tile_w + 2 * _PANEL_LH
+    r = pl.program_id(0)
+    cidx = pl.program_id(1)
+    row0 = r * tile_h
+    col0 = cidx * tile_w
+
+    dma = pltpu.make_async_copy(
+        field_hbm.at[:, pl.ds(row0, tile_h + 2 * pr), pl.ds(col0, ww)],
+        src_vmem,
+        sem,
+    )
+    dma.start()
+
+    f32 = jnp.float32
+    goff = (goff_ref[0, 0], goff_ref[0, 1])
+    rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
+        vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
+        tile_w=tile_w, h=h, w=w, no_slip=no_slip, goff=goff, bh=bh,
+        member=member)
+    lj = (j0 - goff[1].astype(f32) - f32(col0 - _PANEL_LH)).astype(jnp.int32)
+
+    dma.wait()
+
+    wins = []
+    wins_next = []
+    for ch in range(n_ch):
+        x = src_vmem[ch].astype(f32)
+        if pack:
+            if src_vmem.dtype != jnp.bfloat16:
+                x = x.astype(jnp.bfloat16).astype(f32)
+            nxt = pltpu.roll(x, ww - 1, 1)
+            x = _bitcast_f32(_bitcast_u32(x) | (_bitcast_u32(nxt) >> 16))
+        else:
+            wins_next.append(pltpu.roll(x, ww - 1, 1))
+        wins.append(x)
+
+    acc_vmem[...] = jnp.zeros(acc_vmem.shape, f32)
+    if ret_minmax:
+        big = f32(3.4e38)
+        mn_vmem[...] = jnp.full(mn_vmem.shape, big, f32)
+        mx_vmem[...] = jnp.full(mx_vmem.shape, -big, f32)
+
+    masked_rel = jnp.where(row_valid, rel_i, 0)
+    n_out = tile_w // LANE
+
+    # per-panel invariants + occupancy, hoisted out of the shift loop
+    P = []
+    for po in range(n_out):
+        sl = slice(po * LANE, (po + 1) * LANE)
+        lj_p = lj[:, sl]
+        P.append(dict(
+            sl=sl,
+            rel_p=rel_i[:, sl], w0_p=w_i0[:, sl], w1_p=w_i1[:, sl],
+            dj_p=dj[:, sl], one_m_dj=1.0 - dj[:, sl],
+            mod_p=jnp.bitwise_and(lj_p, LANE - 1),
+            e0=jnp.floor_divide(lj_p, LANE) == po,
+            smin=jnp.min(masked_rel[:, sl]),
+            smax=jnp.max(masked_rel[:, sl]),
+        ))
+    tmin = jnp.min(masked_rel)
+    tmax = jnp.max(masked_rel)
+
+    for s in range(-max_disp, max_disp + 2):
+        @pl.when(jnp.logical_and(tmin <= s, s <= tmax + 1))
+        def _(s=s):
+            rows_all = [wins[ch][pr + s:pr + s + tile_h, :]
+                        for ch in range(n_ch)]
+            rows_n_all = (None if pack else
+                          [wins_next[ch][pr + s:pr + s + tile_h, :]
+                           for ch in range(n_ch)])
+            for po in range(n_out):
+                p = P[po]
+
+                @pl.when(jnp.logical_and(p["smin"] <= s,
+                                         s <= p["smax"] + 1))
+                def _(s=s, po=po, p=p, rows_all=rows_all,
+                      rows_n_all=rows_n_all):
+                    sl = p["sl"]
+                    rel_p = p["rel_p"]
+                    mod_p = p["mod_p"]
+                    e0 = p["e0"]
+                    contrib = jnp.where(rel_p == s, p["w0_p"],
+                                        jnp.where(rel_p == s - 1,
+                                                  p["w1_p"], 0.0))
+                    if ret_minmax:
+                        sel = jnp.logical_or(rel_p == s, rel_p == s - 1)
+                    for ch in range(n_ch):
+                        chsl = slice(ch * tile_h, (ch + 1) * tile_h)
+                        rows_s = rows_all[ch]
+                        pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
+                        pan1 = rows_s[:, (po + 1) * LANE:(po + 2) * LANE]
+                        if pack:
+                            gu = jnp.where(
+                                e0,
+                                _bitcast_u32(
+                                    jnp.take_along_axis(pan0, mod_p,
+                                                        axis=1)),
+                                _bitcast_u32(
+                                    jnp.take_along_axis(pan1, mod_p,
+                                                        axis=1)))
+                            rv0 = _bitcast_f32(gu & jnp.uint32(0xFFFF0000))
+                            rv1 = _bitcast_f32(gu << 16)
+                        else:
+                            rows_n = rows_n_all[ch]
+                            rv0 = jnp.where(
+                                e0,
+                                jnp.take_along_axis(pan0, mod_p, axis=1),
+                                jnp.take_along_axis(pan1, mod_p, axis=1))
+                            rv1 = jnp.where(
+                                e0,
+                                jnp.take_along_axis(
+                                    rows_n[:, po * LANE:(po + 1) * LANE],
+                                    mod_p, axis=1),
+                                jnp.take_along_axis(
+                                    rows_n[:, (po + 1) * LANE:
+                                           (po + 2) * LANE],
+                                    mod_p, axis=1))
+                        colv = rv0 * p["one_m_dj"] + rv1 * p["dj_p"]
+                        acc_vmem[chsl, sl] += colv * contrib
+                        if ret_minmax:
+                            lo = jnp.minimum(rv0, rv1)
+                            hi = jnp.maximum(rv0, rv1)
+                            cur_mn = mn_vmem[chsl, sl]
+                            mn_vmem[chsl, sl] = jnp.where(
+                                sel, jnp.minimum(cur_mn, lo), cur_mn)
+                            cur_mx = mx_vmem[chsl, sl]
+                            mx_vmem[chsl, sl] = jnp.where(
+                                sel, jnp.maximum(cur_mx, hi), cur_mx)
+
+    for ch in range(n_ch):
+        a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
+        if no_slip:
+            a = a * ns_factor
+        if clip01:
+            a = jnp.clip(a, 0.0, 1.0)
+        out_ref[ch, :, :] = a.astype(out_ref.dtype)
+        if ret_minmax:
+            mn_ref[ch, :, :] = mn_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                       :].astype(mn_ref.dtype)
+            mx_ref[ch, :, :] = mx_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                       :].astype(mx_ref.dtype)
+
+
 def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
                    dt, max_disp, tile_h, tile_w, pr, pc, h, w, no_slip,
                    static_unroll):
@@ -417,7 +586,7 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
                      "sample_bf16", "return_minmax", "member", "clip01"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 64, tile_w: int = 1024,
-                  static_unroll: bool | None = None, variant: str = "panel",
+                  static_unroll: bool | None = None, variant: str = "sloop",
                   global_offset: jax.Array | None = None,
                   global_shape: Tuple[int, int] | None = None,
                   halo: int = 0, sample_bf16: bool = False,
@@ -452,18 +621,19 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         raise ValueError(
             f"max_disp={max_disp} exceeds the one-panel lane halo the "
             f"gather band assumes (max_disp <= 127)")
-    if variant == "panel" and max_disp > _PANEL_LH - 2:
+    panel_like = ("panel", "sloop")
+    if variant in panel_like and max_disp > _PANEL_LH - 2:
         variant = "tilewide"   # 2-panel band needs max_disp <= 62
     block_mode = global_offset is not None
-    if block_mode and variant != "panel":
-        raise ValueError("block mode (global_offset) requires the panel "
-                         "variant (max_disp <= 62)")
-    if return_minmax and variant != "panel":
-        raise ValueError("return_minmax requires the panel variant")
-    if member is not None and variant != "panel":
-        raise ValueError("tiled-domain mode requires the panel variant")
-    if clip01 and variant != "panel":
-        raise ValueError("clip01 requires the panel variant")
+    if block_mode and variant not in panel_like:
+        raise ValueError("block mode (global_offset) requires the panel/"
+                         "fori variants (max_disp <= 62)")
+    if return_minmax and variant not in panel_like:
+        raise ValueError("return_minmax requires the panel/fori variants")
+    if member is not None and variant not in panel_like:
+        raise ValueError("tiled-domain mode requires the panel/fori variants")
+    if clip01 and variant not in panel_like:
+        raise ValueError("clip01 requires the panel/fori variants")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -485,7 +655,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
     goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
             else global_offset.astype(jnp.int32).reshape(1, 2))
 
-    if variant == "panel":
+    if variant in panel_like:
         lh = _PANEL_LH
         ww = tw + 2 * lh
         # bf16 fields pack exactly; f32 fields pack (lossily, rounding the
@@ -508,8 +678,10 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             field, (0, pr - halo, lh - halo))
         vpad = jnp.pad(vel, ((0, 0), (0, hp - bh), (0, wp - bw)))
 
+        kern_fn = (_advect_kernel_panel if variant == "panel"
+                   else _advect_kernel_panel_sloop)
         kernel = functools.partial(
-            _advect_kernel_panel, dt=dt, max_disp=max_disp, tile_h=th,
+            kern_fn, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
             ret_minmax=return_minmax, member=member, clip01=clip01)
 

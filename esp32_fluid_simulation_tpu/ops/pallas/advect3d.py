@@ -109,6 +109,12 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
         # tile-wide z-shift range (vertical velocity is smooth over a tile)
         zmin = jnp.min(masked_rz)
         zmax = jnp.max(masked_rz)
+        # ... and tile-wide row-shift range: gates each row slot before any
+        # per-panel guard runs (the 2D "sloop" restructure — guard
+        # machinery costs ~44 us per empty slot across a 4096^2-equivalent
+        # grid, measured round 4)
+        imin_t = jnp.min(masked_ri)
+        imax_t = jnp.max(masked_ri)
 
         wz1 = dzf
         wz0 = 1.0 - dzf
@@ -163,60 +169,65 @@ def _advect3d_kernel(goff_ref, vel_ref, field_hbm, out_ref, src_vmem,
                     else:
                         xs_next.append(pltpu.roll(x, ww - 1, 1))
                     xs.append(x)
-                for po in range(n_out):
-                    p = panels[po]
-                    # disjoint masks: nested select == masked sum bit-exactly
-                    zcontrib = jnp.where(
-                        p["rz_p"] == sz_s, p["wz0_p"],
-                        jnp.where(p["rz_p"] == sz_s - 1, p["wz1_p"], 0.0))
-                    for s in range(-max_disp, max_disp + 2):
-                        @pl.when(jnp.logical_and(p["smin"] <= s,
-                                                 s <= p["smax"] + 1))
-                        def _(s=s, po=po, p=p, zcontrib=zcontrib, xs=xs):
-                            contrib = zcontrib * jnp.where(
-                                p["ri_p"] == s, p["wi0_p"],
-                                jnp.where(p["ri_p"] == s - 1,
-                                          p["wi1_p"], 0.0))
-                            for ch in range(n_ch):
-                                rows_s = xs[ch][pr + s:pr + s + tile_h, :]
-                                pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
-                                pan1 = rows_s[:, (po + 1) * LANE:
-                                              (po + 2) * LANE]
-                                if pack:
-                                    gu = jnp.where(
-                                        p["e0"],
-                                        _bitcast_u32(jnp.take_along_axis(
-                                            pan0, p["mod_p"], axis=1)),
-                                        _bitcast_u32(jnp.take_along_axis(
-                                            pan1, p["mod_p"], axis=1)))
-                                    vlo = _bitcast_f32(
-                                        gu & jnp.uint32(0xFFFF0000))
-                                    vhi = _bitcast_f32(gu << 16)
-                                    colv = (vlo * p["one_m_dj"]
-                                            + vhi * p["dj_p"])
-                                else:
-                                    rows_n = xs_next[ch][
-                                        pr + s:pr + s + tile_h, :]
-                                    g0 = jnp.where(
-                                        p["e0"],
-                                        jnp.take_along_axis(
-                                            pan0, p["mod_p"], axis=1),
-                                        jnp.take_along_axis(
-                                            pan1, p["mod_p"], axis=1))
-                                    g1 = jnp.where(
-                                        p["e0"],
-                                        jnp.take_along_axis(
-                                            rows_n[:, po * LANE:
-                                                   (po + 1) * LANE],
-                                            p["mod_p"], axis=1),
-                                        jnp.take_along_axis(
-                                            rows_n[:, (po + 1) * LANE:
-                                                   (po + 2) * LANE],
-                                            p["mod_p"], axis=1))
-                                    colv = (g0 * p["one_m_dj"]
-                                            + g1 * p["dj_p"])
-                                acc_vmem[ch * tile_h:(ch + 1) * tile_h,
-                                         p["sl"]] += colv * contrib
+                # disjoint masks: nested select == masked sum bit-exactly
+                zcontribs = [jnp.where(
+                    p["rz_p"] == sz_s, p["wz0_p"],
+                    jnp.where(p["rz_p"] == sz_s - 1, p["wz1_p"], 0.0))
+                    for p in panels]
+                for s in range(-max_disp, max_disp + 2):
+                    @pl.when(jnp.logical_and(imin_t <= s, s <= imax_t + 1))
+                    def _(s=s, xs=xs, xs_next=xs_next, zcontribs=zcontribs):
+                        for po in range(n_out):
+                            p = panels[po]
+
+                            @pl.when(jnp.logical_and(p["smin"] <= s,
+                                                     s <= p["smax"] + 1))
+                            def _(s=s, po=po, p=p, xs=xs, xs_next=xs_next,
+                                  zcontrib=zcontribs[po]):
+                                contrib = zcontrib * jnp.where(
+                                    p["ri_p"] == s, p["wi0_p"],
+                                    jnp.where(p["ri_p"] == s - 1,
+                                              p["wi1_p"], 0.0))
+                                for ch in range(n_ch):
+                                    rows_s = xs[ch][pr + s:pr + s + tile_h, :]
+                                    pan0 = rows_s[:, po * LANE:(po + 1) * LANE]
+                                    pan1 = rows_s[:, (po + 1) * LANE:
+                                                  (po + 2) * LANE]
+                                    if pack:
+                                        gu = jnp.where(
+                                            p["e0"],
+                                            _bitcast_u32(jnp.take_along_axis(
+                                                pan0, p["mod_p"], axis=1)),
+                                            _bitcast_u32(jnp.take_along_axis(
+                                                pan1, p["mod_p"], axis=1)))
+                                        vlo = _bitcast_f32(
+                                            gu & jnp.uint32(0xFFFF0000))
+                                        vhi = _bitcast_f32(gu << 16)
+                                        colv = (vlo * p["one_m_dj"]
+                                                + vhi * p["dj_p"])
+                                    else:
+                                        rows_n = xs_next[ch][
+                                            pr + s:pr + s + tile_h, :]
+                                        g0 = jnp.where(
+                                            p["e0"],
+                                            jnp.take_along_axis(
+                                                pan0, p["mod_p"], axis=1),
+                                            jnp.take_along_axis(
+                                                pan1, p["mod_p"], axis=1))
+                                        g1 = jnp.where(
+                                            p["e0"],
+                                            jnp.take_along_axis(
+                                                rows_n[:, po * LANE:
+                                                       (po + 1) * LANE],
+                                                p["mod_p"], axis=1),
+                                            jnp.take_along_axis(
+                                                rows_n[:, (po + 1) * LANE:
+                                                       (po + 2) * LANE],
+                                                p["mod_p"], axis=1))
+                                        colv = (g0 * p["one_m_dj"]
+                                                + g1 * p["dj_p"])
+                                    acc_vmem[ch * tile_h:(ch + 1) * tile_h,
+                                             p["sl"]] += colv * contrib
 
         if no_slip:
             def axis_factor(raw, n):

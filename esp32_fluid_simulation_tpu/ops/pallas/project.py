@@ -31,9 +31,13 @@ from .rb_common import packed_rb_solve_full
 from .tiling import pick_tile
 
 
-def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
-                    *, iters, omega, dx, tile_h, tile_w, pr, pc, h, w, bh,
-                    bw, member=None):
+def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
+                    pr, pc, h, w, bh, bw, member=None, n_imp=0):
+    if n_imp:
+        (ipos_ref, ivel_ref, iact_ref, v_hbm, vout_ref, pout_ref,
+         vwin_vmem, sem) = args
+    else:
+        v_hbm, vout_ref, pout_ref, vwin_vmem, sem = args
     r = pl.program_id(0)
     c = pl.program_id(1)
     row0 = r * tile_h
@@ -82,6 +86,18 @@ def _project_kernel(goff_ref, v_hbm, vout_ref, pout_ref, vwin_vmem, sem,
     dma.wait()
     vx = jnp.where(in_dom, vwin_vmem[0].astype(f32), 0.0)
     vy = jnp.where(in_dom, vwin_vmem[1].astype(f32), 0.0)
+
+    # fused drag-queue drain (.ino:264-269): overwrite velocity at the
+    # impulse cells IN-WINDOW, before divergence — saves the standalone
+    # scatter's full velocity HBM round trip.  Sequential slot order =
+    # last active slot wins, exactly like apply_impulses; global-coord
+    # compare applies each impulse wherever its cell appears in any
+    # tile's window (interior or halo), so neighboring tiles see it too.
+    for n in range(n_imp):
+        hit = ((iact_ref[n, 0] != 0) & (gi == ipos_ref[n, 0])
+               & (gj == ipos_ref[n, 1]) & in_dom)
+        vx = jnp.where(hit, ivel_ref[n, 0], vx)
+        vy = jnp.where(hit, ivel_ref[n, 1], vy)
 
     zrow = jnp.zeros((1, ww), f32)
     zcol = jnp.zeros((wh, 1), f32)
@@ -138,7 +154,8 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
                          omega: float = 1.96, tile_h: int | None = None,
                          tile_w: int | None = None,
                          global_offset: jax.Array | None = None,
-                         global_shape=None, halo: int = 0, member=None):
+                         global_shape=None, halo: int = 0, member=None,
+                         impulses=None):
     """(projected velocity, pressure) — replaces divergence + sor_solve +
     subtract_gradient for 2D grids.
 
@@ -148,6 +165,12 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     ``global_shape`` is the full-domain extent for the boundary-condition
     masks.  One halo exchange then replaces the composed path's
     ``2*iters + 3`` per-stencil collectives.
+
+    ``impulses``: an optional ``state.Impulses`` batch drained INSIDE the
+    kernel (before divergence, ``.ino:258-269`` order) — the fused
+    replacement for ``apply_impulses`` + this kernel, saving the scatter's
+    full velocity HBM round trip.  Values are pre-rounded to ``vel.dtype``
+    so the result is bit-identical to the composed path.
     """
     need = 2 * iters + 2
     block_mode = global_offset is not None
@@ -181,10 +204,32 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     vpad = jnp.pad(vel, ((0, 0), (pr - halo, pr - halo + hp - bh),
                          (pc - halo, pc - halo + wp - bw)))
 
+    n_imp = 0
+    imp_args = []
+    imp_specs = []
+    if impulses is not None:
+        n_imp = impulses.pos.shape[0]
+        # clamp exactly like apply_impulses; round values through vel.dtype
+        # so fused == scatter-then-project bit-exactly
+        ipos = jnp.stack([jnp.clip(impulses.pos[:, 0], 0, h - 1),
+                          jnp.clip(impulses.pos[:, 1], 0, w - 1)], axis=1)
+        ivel = (impulses.velocity.astype(vel.dtype)
+                .astype(jnp.float32).reshape(n_imp, 2))
+        iact = impulses.active.astype(jnp.int32).reshape(n_imp, 1)
+        imp_args = [ipos.astype(jnp.int32), ivel, iact]
+        imp_specs = [
+            pl.BlockSpec((n_imp, 2), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_imp, 2), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_imp, 1), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+
     kernel = functools.partial(
         _project_kernel, iters=iters, omega=omega, dx=dx,
         tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw,
-        member=member)
+        member=member, n_imp=n_imp)
 
     vout, pout = pl.pallas_call(
         kernel,
@@ -192,6 +237,7 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
         in_specs=[
             pl.BlockSpec((1, 2), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
+        ] + imp_specs + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -208,5 +254,5 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
             pltpu.VMEM((2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(goff, vpad)
+    )(goff, *imp_args, vpad)
     return vout[:, :bh, :bw], pout[:bh, :bw]

@@ -434,3 +434,54 @@ def test_fd3d_kernels_match_jnp(rng):
                                                   tile_h=16, tile_w=128)),
             np.asarray(subtract_gradient(v, p, 0.7)),
             rtol=1e-6, atol=1e-6)
+
+
+def test_project_fused_impulses_bit_equal(rng):
+    """The in-kernel drag-queue drain (impulses= arg) is bit-identical to
+    apply_impulses -> project_fused_pallas, duplicate positions (last
+    active slot wins) and clamped out-of-range positions included."""
+    from esp32_fluid_simulation_tpu import SimConfig, Impulses
+    from esp32_fluid_simulation_tpu.models.stable_fluids import (
+        apply_impulses)
+    from esp32_fluid_simulation_tpu.ops.pallas.project import (
+        project_fused_pallas)
+
+    cfg = SimConfig(shape=(64, 96), sor_iters=3)
+    vel = jnp.asarray(rng.normal(0, 40, (2, 64, 96)).astype(F))
+    imp = Impulses.from_lists(
+        cfg, [(20, 30), (20, 30), (40, 50), (99, -3)],
+        [(90.0, -45.0), (33.0, 44.0), (-60.0, 120.0), (7.0, 8.0)])
+
+    ref_v, ref_p = project_fused_pallas(apply_impulses(vel, imp), 1.0, 3,
+                                        1.96)
+    got_v, got_p = project_fused_pallas(vel, 1.0, 3, 1.96, impulses=imp)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_advect_sloop_matches_panel(rng):
+    """The round-4 swapped-loop shift walk is bit-identical to the proven
+    panel kernel (f32 exact path, bf16 pack path, no-slip, minmax)."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+
+    vel = jnp.asarray(rng.normal(0, 80, (2, 96, 160)).astype(F))
+    dye = jnp.asarray(rng.random((3, 96, 160)).astype(F))
+    for f, ns in ((dye, False), (vel, True)):
+        a = advect_pallas(f, vel, 1 / 30, ns, max_disp=8, tile_h=32,
+                          tile_w=128, variant="panel")
+        b = advect_pallas(f, vel, 1 / 30, ns, max_disp=8, tile_h=32,
+                          tile_w=128, variant="sloop")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dyeb = dye.astype(jnp.bfloat16)
+    a = advect_pallas(dyeb, vel, 1 / 30, False, max_disp=8, variant="panel",
+                      clip01=True)
+    b = advect_pallas(dyeb, vel, 1 / 30, False, max_disp=8, variant="sloop",
+                      clip01=True)
+    np.testing.assert_array_equal(np.asarray(a).view(np.uint16),
+                                  np.asarray(b).view(np.uint16))
+    am = advect_pallas(dye, vel, 1 / 30, False, max_disp=8, variant="panel",
+                       return_minmax=True)
+    bm = advect_pallas(dye, vel, 1 / 30, False, max_disp=8, variant="sloop",
+                       return_minmax=True)
+    for x, y in zip(am, bm):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -136,6 +136,13 @@ def main():
         "frames_polled": frames,
         "steps_done": stats["steps"],
         "queue_dropped": stats["queue_dropped"],
+        # producer/consumer pipeline health (round 4: encode off the sim
+        # thread; sim_fps is completed device steps, encode_fps the JPEG
+        # consumer's rate; dropped = latest-wins frames the encoder skipped)
+        "sim_fps": stats.get("sim_fps"),
+        "encode_fps": stats.get("encode_fps"),
+        "frames_dropped": stats.get("frames_dropped"),
+        "stream_decim": stats.get("stream_decim"),
     }))
 
 
