@@ -206,20 +206,22 @@ class SimServer:
         warm = Impulses.from_lists(self.cfg, [(0, 0)],
                                    [(0.0,) * self.cfg.ndim])
         state, _ = self._step_render(state, warm)
-        t_last = None
+        none = Impulses.none(self.cfg)   # reused: device-resident, no
+        t_last = None                    # per-frame rebuild/upload
         while not self._stop.is_set():
             drags = self.queue.drain(self.cfg.max_impulses)
             # queue entries are already sim-frame (i, j, vi, vj)
             imp = (Impulses.from_lists(
                        self.cfg, [(i, j) for i, j, _, _ in drags],
                        [(vi, vj) for _, _, vi, vj in drags])
-                   if drags else Impulses.none(self.cfg))
+                   if drags else none)
             state, img = self._step_render(state, imp)
             # sim_fps is rated by COMPLETED device steps: every K frames a
             # scalar fetch forces the whole chain (the tunnel's
             # block_until_ready does not actually block; a per-frame fetch
-            # would pay one tunnel RTT per step, so it is amortized over K)
-            K = 8
+            # would pay one tunnel RTT per step, so it is amortized over K
+            # — K=8 measured ~12 ms/frame of RTT tax at 2048^2, K=32 ~3)
+            K = 32
             if self.steps_done % K == K - 1:
                 int(state.step)
                 now = time.time()

@@ -19,15 +19,22 @@ CFL number; this kernel exploits that:
   overshoot discount is computed from the *unclamped* coords and applied at
   the end.
 
-Variants (an optimization lineage; "panel" is the production path):
+Variants (an optimization lineage; "sloop" is the production path):
 
-* ``panel`` (default) — per-(output-panel, shift) occupancy skips: each
-  128-lane output panel reduces its own backtrace row-shift range and only
-  runs the shifts present there (the velocity field is smooth, so a 128x128
-  panel typically spans 2-4 shifts while the whole tile spans 10-30).  The
-  halo window is DMA'd at a 64-lane left offset so every output panel's
-  column indices land in exactly TWO 128-lane source panels (the minimum —
-  the index span is 128+2*max_disp+2 > 128 lanes).  For bfloat16 fields the
+* ``sloop`` (default) — the panel kernel with the loop order swapped:
+  shift slots OUTSIDE behind a tile-wide occupancy guard, panels inside
+  behind their per-panel guards.  Guard machinery costs ~44 us per empty
+  slot across a 4096^2 grid (measured round 4), and the swap cuts guard
+  evaluations from ``panels * slots`` to ``slots + panels * active``;
+  per-panel work and its ascending-shift accumulation order are unchanged,
+  so results are bit-identical to "panel".
+* ``panel`` — per-(output-panel, shift) occupancy skips: each 128-lane
+  output panel reduces its own backtrace row-shift range and only runs the
+  shifts present there (the velocity field is smooth, so a 128x128 panel
+  typically spans 2-4 shifts while the whole tile spans 10-30).  The halo
+  window is DMA'd at a 64-lane left offset so every output panel's column
+  indices land in exactly TWO 128-lane source panels (the minimum — the
+  index span is 128+2*max_disp+2 > 128 lanes).  For bfloat16 fields the
   two bilinear column taps come back in ONE hardware gather: adjacent bf16
   columns (k, k+1) are packed into one f32 lane (bf16 -> f32 widening is
   exact, so this path is bit-identical to gathering the bf16 values
@@ -37,7 +44,9 @@ Variants (an optimization lineage; "panel" is the production path):
   with ``pl.when`` skips, 3-panel gather band (``gather_utils``).
 * ``dynamic`` — ``fori_loop`` over shifts with ``tpu.dynamic_rotate``.
   MISCOMPILES on real v5e silicon at some shapes (interpret mode and the AOT
-  verifier do not catch it); kept only as a reproducer.
+  verifier do not catch it); kept only as a reproducer.  (A fori_loop with
+  dynamic *sublane slices* instead of rotates fails to compile outright:
+  Mosaic requires sublane starts provably divisible by 8.)
 
 Displacements beyond ``max_disp`` cells are clamped (a CFL clamp — standard
 practice; the pure-jnp path in ``ops.advect`` remains the unclamped
@@ -359,19 +368,35 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
          sem) = rest
     else:
         out_ref, src_vmem, acc_vmem, sem = rest
-    n_ch = src_vmem.shape[0]
+    n_ch = src_vmem.shape[1]
     ww = tile_w + 2 * _PANEL_LH
     r = pl.program_id(0)
     cidx = pl.program_id(1)
     row0 = r * tile_h
     col0 = cidx * tile_w
 
-    dma = pltpu.make_async_copy(
-        field_hbm.at[:, pl.ds(row0, tile_h + 2 * pr), pl.ds(col0, ww)],
-        src_vmem,
-        sem,
-    )
-    dma.start()
+    # Double-buffered window DMA across the sequential grid walk (same
+    # pattern as ops/pallas/project.py): tile i+1's window streams in
+    # during tile i's gather loop, instead of hiding only behind the
+    # backtrace math.
+    nc_ = pl.num_programs(1)
+    idx = r * nc_ + cidx
+    slot = jax.lax.rem(idx, 2)
+
+    def win_dma(i, s):
+        r0 = (i // nc_) * tile_h
+        c0 = jax.lax.rem(i, nc_) * tile_w
+        return pltpu.make_async_copy(
+            field_hbm.at[:, pl.ds(r0, tile_h + 2 * pr), pl.ds(c0, ww)],
+            src_vmem.at[s], sem.at[s])
+
+    @pl.when(idx == 0)
+    def _():
+        win_dma(idx, slot).start()
+
+    @pl.when(idx + 1 < pl.num_programs(0) * nc_)
+    def _():
+        win_dma(idx + 1, 1 - slot).start()
 
     f32 = jnp.float32
     goff = (goff_ref[0, 0], goff_ref[0, 1])
@@ -381,12 +406,12 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
         member=member)
     lj = (j0 - goff[1].astype(f32) - f32(col0 - _PANEL_LH)).astype(jnp.int32)
 
-    dma.wait()
+    win_dma(idx, slot).wait()
 
     wins = []
     wins_next = []
     for ch in range(n_ch):
-        x = src_vmem[ch].astype(f32)
+        x = src_vmem[slot, ch].astype(f32)
         if pack:
             if src_vmem.dtype != jnp.bfloat16:
                 x = x.astype(jnp.bfloat16).astype(f32)
@@ -701,11 +726,14 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             out_specs=((grid_block,) * 3 if return_minmax else grid_block),
             out_shape=((sds,) * 3 if return_minmax else sds),
             scratch_shapes=(
-                [pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype),
+                [(pltpu.VMEM((2, c, th + 2 * pr, ww), fpad.dtype)
+                  if variant == "sloop" else
+                  pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype)),
                  pltpu.VMEM((c * th, tw), jnp.float32)]
                 + ([pltpu.VMEM((c * th, tw), jnp.float32)] * 2
                    if return_minmax else [])
-                + [pltpu.SemaphoreType.DMA]
+                + [pltpu.SemaphoreType.DMA((2,)) if variant == "sloop"
+                   else pltpu.SemaphoreType.DMA]
             ),
         )(goff, vpad, fpad)
         if return_minmax:

@@ -45,9 +45,31 @@ def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
     wh = tile_h + 2 * pr
     ww = tile_w + 2 * pc
 
-    dma = pltpu.make_async_copy(
-        v_hbm.at[:, pl.ds(row0, wh), pl.ds(col0, ww)], vwin_vmem, sem)
-    dma.start()
+    # Double-buffered window DMA across grid steps: tile i+1's window
+    # streams in during tile i's solve (scratch persists across the
+    # sequential grid walk).  At 8192^2 the un-overlapped window fetch is
+    # ~24 us/program against ~15 us of solve — the whole 12.4 -> ~8 ms
+    # gap vs area-scaled 4096^2 (measured round 4, tools/ probes).
+    nc_ = pl.num_programs(1)
+    idx = r * nc_ + c
+    slot = jax.lax.rem(idx, 2)
+
+    def win_dma(i, s):
+        r0 = (i // nc_) * tile_h
+        c0 = jax.lax.rem(i, nc_) * tile_w
+        return pltpu.make_async_copy(
+            v_hbm.at[:, pl.ds(r0, wh), pl.ds(c0, ww)],
+            vwin_vmem.at[s], sem.at[s])
+
+    @pl.when(idx == 0)
+    def _():
+        win_dma(idx, slot).start()
+
+    @pl.when(idx + 1 < pl.num_programs(0) * nc_)
+    def _():
+        win_dma(idx + 1, 1 - slot).start()
+
+    dma = win_dma(idx, slot)
 
     f32 = jnp.float32
     # global coordinates: block-local window position + the (traced) block
@@ -84,8 +106,8 @@ def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
         at_j_hi = gjm == mw - 1
 
     dma.wait()
-    vx = jnp.where(in_dom, vwin_vmem[0].astype(f32), 0.0)
-    vy = jnp.where(in_dom, vwin_vmem[1].astype(f32), 0.0)
+    vx = jnp.where(in_dom, vwin_vmem[slot, 0].astype(f32), 0.0)
+    vy = jnp.where(in_dom, vwin_vmem[slot, 1].astype(f32), 0.0)
 
     # fused drag-queue drain (.ino:264-269): overwrite velocity at the
     # impulse cells IN-WINDOW, before divergence — saves the standalone
@@ -251,8 +273,8 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
             jax.ShapeDtypeStruct((hp, wp), vel.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(goff, *imp_args, vpad)
     return vout[:, :bh, :bw], pout[:bh, :bw]

@@ -109,18 +109,21 @@ def main():
     visible = None       # fluid: the swirl is plainly visible
     frames = 0
     last = None
-    t_end = time.time() + 6.0
+    t_end = time.time() + 8.0
     while time.time() < t_end:
         jpeg = get_frame()
         t = time.time()
         frames += 1
         img = decode(jpeg)
-        delta = np.abs(img[reg] - ref[reg]).mean()
-        if latency is None and delta > 0.05:
+        # changed-PIXEL counts, not region-mean deltas: at production
+        # grids the drag vortex is a tiny fraction of the streamed region,
+        # so a mean threshold tuned at 61x81 never fires (round 4)
+        changed = (np.abs(img[reg] - ref[reg]) > 15).any(axis=-1).sum()
+        if latency is None and changed > 50:
             latency = t - t_drag
             with open(f"{args.out}/first_response.jpg", "wb") as f:
                 f.write(jpeg)
-        if visible is None and delta > 0.5:
+        if visible is None and changed > 2000:
             visible = t - t_drag
         last = jpeg
     with open(f"{args.out}/after.jpg", "wb") as f:

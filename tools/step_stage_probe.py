@@ -71,9 +71,11 @@ def main():
     res["project_ms"] = chain_ms(pj, st.velocity)
     print("project", res["project_ms"], flush=True)
 
-    da = jax.jit(lambda c: adv(c, st.velocity, cfg.dt, no_slip=False,
-                               clip01=True))
-    res["dye_advect_ms"] = chain_ms(da, st.color)
+    # velocity passed as an ARG, not a closure constant: a closed-over
+    # 8192^2 f32 velocity (536 MB) gets serialized into the program and
+    # blows the remote-compile request limit (HTTP 413)
+    da = jax.jit(lambda c, v: adv(c, v, cfg.dt, no_slip=False, clip01=True))
+    res["dye_advect_ms"] = chain_ms(lambda c: da(c, st.velocity), st.color)
     print("dye_advect", res["dye_advect_ms"], flush=True)
 
     ia = jax.jit(lambda v: apply_impulses(v, imp))
