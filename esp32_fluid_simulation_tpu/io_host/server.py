@@ -116,6 +116,7 @@ class SimServer:
         self.frames_dropped = 0
         self.sim_fps = 0.0
         self.encode_fps = 0.0
+        self.clients = 0          # attached /stream + in-flight /frame
         self.mime = "image/jpeg"
 
     # -- input ------------------------------------------------------------
@@ -175,6 +176,12 @@ class SimServer:
                     img = self._raw_slot
                     self.frames_dropped += self._raw_no - seen - 1
                     seen = self._raw_no
+                if self.clients == 0 and self._frame_no > 0:
+                    # headless: nobody is watching — skip the device->host
+                    # fetch AND the encode (both ride the same tunnel the
+                    # sim dispatches use, so this is free sim throughput);
+                    # one initial frame is always kept for a late /frame
+                    continue
                 # the fetch (np.asarray) happens HERE — the sim thread only
                 # dispatched the device program
                 rgb = np.moveaxis(np.asarray(img), 0, -1)
@@ -277,7 +284,15 @@ def make_handler(sim: SimServer):
                 self.end_headers()
                 self.wfile.write(page)
             elif self.path == "/frame":
-                frame, _ = sim.next_frame(-1)
+                sim.clients += 1
+                try:
+                    # ask for a frame NEWER than the current one: with
+                    # client-gated encoding the newest published frame may
+                    # be the stale initial one; attaching as a client wakes
+                    # the encoder for the next raw frame
+                    frame, _ = sim.next_frame(sim._frame_no, timeout=10.0)
+                finally:
+                    sim.clients -= 1
                 self.send_response(200)
                 self.send_header("Content-Type", sim.mime)
                 self.send_header("Content-Length", str(len(frame)))
@@ -290,6 +305,7 @@ def make_handler(sim: SimServer):
                     "multipart/x-mixed-replace; boundary=frame")
                 self.end_headers()
                 seen = -1
+                sim.clients += 1
                 try:
                     while not sim._stop.is_set():
                         frame, seen = sim.next_frame(seen)
@@ -303,6 +319,8 @@ def make_handler(sim: SimServer):
                         self.wfile.write(b"\r\n")
                 except (BrokenPipeError, ConnectionResetError):
                     pass
+                finally:
+                    sim.clients -= 1
             elif self.path == "/stats":
                 body = json.dumps({
                     "steps": sim.steps_done,
@@ -313,6 +331,7 @@ def make_handler(sim: SimServer):
                     "frames_encoded": sim.frames_encoded,
                     "frames_dropped": sim.frames_dropped,
                     "stream_decim": sim.stream_decim,
+                    "clients": sim.clients,
                 }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

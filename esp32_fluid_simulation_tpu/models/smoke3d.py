@@ -44,7 +44,13 @@ class SmokeConfig:
     sor_iters: int = 10
     omega: float = 1.5
     advect_impl: str = "auto"      # auto | jnp | pallas (3D gather kernel)
-    advect_max_disp: int = 4       # CFL clamp (cells/step) for the kernel
+    # CFL clamp (cells/step) for the kernel.  The z-halo scales the advect
+    # window: at the (2, 64) production tiles a program fetches
+    # 2*(max_disp+1)+2 planes for 2 output planes, so max_disp=4 pays 6x
+    # read amplification (measured 3x the whole default step at 256^3,
+    # round 4).  2 keeps a 40x margin over the plume's measured ~0.05
+    # cells/step backtrace; raise it for fast external flows.
+    advect_max_disp: int = 2
     sor_impl: str = "auto"         # auto | jnp | pallas (3D packed-RB kernel)
     sor_chunk: int = 3             # SOR sweeps per kernel launch (halo trade)
     mg_cycles: int = 1
@@ -58,11 +64,14 @@ class SmokeConfig:
     source_temperature: float = 1.0
     dtype: str = "float32"
     # Storage dtype for the advected scalars (density + temperature) only;
-    # velocity and pressure always run in ``dtype``.  "bfloat16" mirrors the
-    # 2D production config's bf16 dye (color_dtype): the smoke scalars are
-    # render-bound quantities, and the 3D advect kernel's packed-pair bf16
-    # gathers make their advection ~2.3x faster (9.8 -> 4.3 ms at 256^3).
-    scalar_dtype: str = "float32"
+    # velocity and pressure always run in ``dtype``.  Default "bfloat16"
+    # mirrors the reference's own reduced-precision dye storage (UQ32 fixed
+    # point, uq32.h): the smoke scalars are render-bound quantities, and
+    # the 3D advect kernel's packed-pair bf16 gathers make their advection
+    # ~2.3x faster (9.8 -> 4.3 ms at 256^3).  The f32-vs-bf16 plume A/B is
+    # pinned in tests/test_models_extra.py::test_smoke_bf16_scalars (total
+    # smoke mass within a few percent after 25 steps).
+    scalar_dtype: str = "bfloat16"
 
     @property
     def jdtype(self):
@@ -141,8 +150,12 @@ def smoke_step(state: SmokeState, cfg: SmokeConfig) -> SmokeState:
         # (2026-08-18; the round-2 winner (8, 32) re-measured 9.6/3.4 ms):
         # the f32 no-slip velocity advect wants thin-deep (2, 64) windows
         # (6.5 ms), the packed-bf16 scalar pair wants (2, 128) (1.3 ms).
+        # At max_disp >= 2 the z-halo dominates thin tiles (td+2(md+1)
+        # planes fetched for td produced), so the velocity advect switches
+        # to (4, 32): 25.3 -> 19.6 ms at md=2 in the round-4 sweep.
+        vd, vh = (2, 64) if md <= 1 else (4, 32)
         vel = advect3d_pallas(vel, vel, dt, no_slip=True, max_disp=md,
-                              tile_d=2, tile_h=64)
+                              tile_d=vd, tile_h=vh)
         # rho+temp share one backtrace (same velocity): one 2-channel call
         scal = advect3d_pallas(jnp.stack([rho, temp]), vel, dt,
                                no_slip=False, max_disp=md,

@@ -44,8 +44,9 @@ def test_smoke_bf16_scalars():
     st_b = init_smoke(SmokeConfig(scalar_dtype="bfloat16", **kw))
     fn_b = make_smoke_step(SmokeConfig(scalar_dtype="bfloat16", **kw),
                            donate=False)
-    st_f = init_smoke(SmokeConfig(**kw))
-    fn_f = make_smoke_step(SmokeConfig(**kw), donate=False)
+    st_f = init_smoke(SmokeConfig(scalar_dtype="float32", **kw))
+    fn_f = make_smoke_step(SmokeConfig(scalar_dtype="float32", **kw),
+                           donate=False)
     for _ in range(25):
         st_b = fn_b(st_b)
         st_f = fn_f(st_f)
