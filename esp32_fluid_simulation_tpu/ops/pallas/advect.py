@@ -64,6 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gather_utils import lane_gather
+from .window import LANE_PAD, window_ops, issue, zero_skipped_strips
 
 LANE = 128
 _PANEL_LH = 64          # left lane halo of the DMA window (panel variant)
@@ -158,7 +159,8 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
 
 def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
                          tile_h, tile_w, pr, h, w, bh, no_slip, pack,
-                         ret_minmax, member=None, clip01=False):
+                         ret_minmax, member=None, clip01=False, nopad=False,
+                         rg=8):
     """One (row-tile, col-tile) program; all channels.  See module doc,
     variant "panel".
 
@@ -346,7 +348,7 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
 def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
                                max_disp, tile_h, tile_w, pr, h, w, bh,
                                no_slip, pack, ret_minmax, member=None,
-                               clip01=False):
+                               clip01=False, nopad=False, rg=8):
     """Panel kernel with the loop order swapped (variant "sloop"):
     shift outside, panels inside.
 
@@ -378,25 +380,48 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
     # Double-buffered window DMA across the sequential grid walk (same
     # pattern as ops/pallas/project.py): tile i+1's window streams in
     # during tile i's gather loop, instead of hiding only behind the
-    # backtrace math.
+    # backtrace math.  nopad mode loads the window straight from the
+    # UNPADDED field as a 3x3 conditional patchwork (ops/pallas/window.py)
+    # — the caller then skips the fpad HBM copy entirely.  The patchwork
+    # window carries a 128-lane halo (the smallest DMA-legal lane unit);
+    # one roll per channel below restores the 64-lane panel-band origin.
     nc_ = pl.num_programs(1)
+    npr_ = pl.num_programs(0)
     idx = r * nc_ + cidx
     slot = jax.lax.rem(idx, 2)
 
-    def win_dma(i, s):
-        r0 = (i // nc_) * tile_h
-        c0 = jax.lax.rem(i, nc_) * tile_w
-        return pltpu.make_async_copy(
-            field_hbm.at[:, pl.ds(r0, tile_h + 2 * pr), pl.ds(c0, ww)],
-            src_vmem.at[s], sem.at[s])
+    if nopad:
+        def _win_ops(i, s):
+            return window_ops(field_hbm, src_vmem.at[s], sem.at[s], i,
+                              nc=nc_, npr=npr_, th=tile_h, tw=tile_w,
+                              pr=pr, lpad=LANE_PAD, rg=rg)
+
+        def start_win(i, s):
+            issue(_win_ops(i, s), "start")
+
+        def wait_win(i, s):
+            issue(_win_ops(i, s), "wait")
+    else:
+        def win_dma(i, s):
+            r0 = (i // nc_) * tile_h
+            c0 = jax.lax.rem(i, nc_) * tile_w
+            return pltpu.make_async_copy(
+                field_hbm.at[:, pl.ds(r0, tile_h + 2 * pr), pl.ds(c0, ww)],
+                src_vmem.at[s], sem.at[s])
+
+        def start_win(i, s):
+            win_dma(i, s).start()
+
+        def wait_win(i, s):
+            win_dma(i, s).wait()
 
     @pl.when(idx == 0)
     def _():
-        win_dma(idx, slot).start()
+        start_win(idx, slot)
 
-    @pl.when(idx + 1 < pl.num_programs(0) * nc_)
+    @pl.when(idx + 1 < npr_ * nc_)
     def _():
-        win_dma(idx + 1, 1 - slot).start()
+        start_win(idx + 1, 1 - slot)
 
     f32 = jnp.float32
     goff = (goff_ref[0, 0], goff_ref[0, 1])
@@ -406,12 +431,27 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
         member=member)
     lj = (j0 - goff[1].astype(f32) - f32(col0 - _PANEL_LH)).astype(jnp.int32)
 
-    win_dma(idx, slot).wait()
+    wait_win(idx, slot)
+    if nopad:
+        # strips the patchwork skipped at domain edges hold stale/uninit
+        # VMEM; the multiply-accumulate below needs them FINITE (0*NaN
+        # would poison valid outputs), so zero them.  Edge programs only.
+        zero_skipped_strips(src_vmem.at[slot], r, cidx, npr_, nc_,
+                            n_ch=n_ch, th=tile_h, tw=tile_w, pr=pr,
+                            lpad=LANE_PAD, dtype=src_vmem.dtype)
 
     wins = []
     wins_next = []
+    wide = tile_w + 2 * LANE_PAD
     for ch in range(n_ch):
         x = src_vmem[slot, ch].astype(f32)
+        if nopad:
+            # wide-window lane origin is LANE_PAD; the panel band math
+            # expects origin _PANEL_LH — roll left by the difference and
+            # crop (bit-exact data movement, ~VPU-free next to the
+            # gathers; wrap lanes land beyond the crop).  Rolled AFTER the
+            # f32 upcast: Mosaic's lane rotate is 32-bit-only on v5e.
+            x = pltpu.roll(x, wide - (LANE_PAD - _PANEL_LH), 1)[:, :ww]
         if pack:
             if src_vmem.dtype != jnp.bfloat16:
                 x = x.astype(jnp.bfloat16).astype(f32)
@@ -608,7 +648,8 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     jax.jit,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
-                     "sample_bf16", "return_minmax", "member", "clip01"))
+                     "sample_bf16", "return_minmax", "member", "clip01",
+                     "nopad"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 64, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "sloop",
@@ -616,7 +657,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   global_shape: Tuple[int, int] | None = None,
                   halo: int = 0, sample_bf16: bool = False,
                   return_minmax: bool = False, member=None,
-                  clip01: bool = False):
+                  clip01: bool = False, nopad: bool | None = None):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -682,7 +723,6 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
     if variant in panel_like:
         lh = _PANEL_LH
-        ww = tw + 2 * lh
         # bf16 fields pack exactly; f32 fields pack (lossily, rounding the
         # source to bf16) only when sample_bf16 is set — a production-perf
         # knob that halves the gather count and window DMA.
@@ -690,25 +730,54 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         if halo > min(pr, lh):
             raise ValueError(f"halo={halo} exceeds the aligned kernel halo "
                              f"(pr={pr}, lane halo {lh})")
-        # Zero-pad: halo on all sides plus tiling round-up.  Padded values
-        # are never selected for valid outputs (masks guarantee in-domain
-        # indices); they only make the window DMAs unconditionally in-bounds.
-        # In block mode the innermost ``halo`` ring is the exchanged
-        # neighbor data and stays where the coordinate maps expect it.
-        # zeros+dynamic_update_slice instead of jnp.pad: measurably faster
-        # for bf16 fields on v5e (0.53 -> 0.35 ms at 4096^2x3ch), equal for
-        # f32 — the same trick as render/pallas_upscale._padded.
-        fpad = jax.lax.dynamic_update_slice(
-            jnp.zeros((c, hp + 2 * pr, wp + 2 * lh), field.dtype),
-            field, (0, pr - halo, lh - halo))
-        vpad = jnp.pad(vel, ((0, 0), (0, hp - bh), (0, wp - bw)))
+        # nopad: load windows straight from the unpadded field (3x3
+        # conditional patchwork, ops/pallas/window.py) and skip the fpad
+        # HBM copy — legal whenever no block-mode halo ring is embedded,
+        # the tiling divides exactly, and the row halo/tile sizes satisfy
+        # the dtype's sublane-tile divisibility (8 f32 / 16 bf16).
+        rg = 16 if field.dtype.itemsize == 2 else 8
+        nopad_ok = (variant == "sloop" and not block_mode and halo == 0
+                    and hp == bh and wp == bw
+                    and pr % rg == 0 and th % rg == 0 and th >= pr)
+        if nopad is None:
+            # Default OFF: the patchwork path is bit-exact on silicon
+            # (tools/nopad_ab_probe.py) but the conditional 3x3 DMA issue
+            # pattern executes far slower than the single rectangular
+            # window DMA it replaces — the pl.when-guarded copies defeat
+            # Mosaic's DMA pipelining (measured 2026-08-19; see
+            # docs/PERFORMANCE.md "nopad experiment").  Kept opt-in as the
+            # starting point for a future strided/clamped-descriptor fix.
+            nopad = False
+        elif nopad and not nopad_ok:
+            raise ValueError("nopad=True requested but the config is not "
+                             "nopad-eligible (needs sloop, no block halo, "
+                             "exact tiling, and rg-aligned pr/th)")
+        ww = tw + 2 * (LANE_PAD if nopad else lh)
+        if nopad:
+            fsrc = field
+            vpad = vel
+        else:
+            # Zero-pad: halo on all sides plus tiling round-up.  Padded
+            # values are never selected for valid outputs (masks guarantee
+            # in-domain indices); they only make the window DMAs
+            # unconditionally in-bounds.  In block mode the innermost
+            # ``halo`` ring is the exchanged neighbor data and stays where
+            # the coordinate maps expect it.  zeros+dynamic_update_slice
+            # instead of jnp.pad: measurably faster for bf16 fields on
+            # v5e (0.53 -> 0.35 ms at 4096^2x3ch), equal for f32 — the
+            # same trick as render/pallas_upscale._padded.
+            fsrc = jax.lax.dynamic_update_slice(
+                jnp.zeros((c, hp + 2 * pr, wp + 2 * lh), field.dtype),
+                field, (0, pr - halo, lh - halo))
+            vpad = jnp.pad(vel, ((0, 0), (0, hp - bh), (0, wp - bw)))
 
         kern_fn = (_advect_kernel_panel if variant == "panel"
                    else _advect_kernel_panel_sloop)
         kernel = functools.partial(
             kern_fn, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
-            ret_minmax=return_minmax, member=member, clip01=clip01)
+            ret_minmax=return_minmax, member=member, clip01=clip01,
+            nopad=nopad, rg=rg)
 
         grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                   memory_space=pltpu.VMEM)
@@ -726,16 +795,17 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             out_specs=((grid_block,) * 3 if return_minmax else grid_block),
             out_shape=((sds,) * 3 if return_minmax else sds),
             scratch_shapes=(
-                [(pltpu.VMEM((2, c, th + 2 * pr, ww), fpad.dtype)
+                [(pltpu.VMEM((2, c, th + 2 * pr, ww), fsrc.dtype)
                   if variant == "sloop" else
-                  pltpu.VMEM((c, th + 2 * pr, ww), fpad.dtype)),
+                  pltpu.VMEM((c, th + 2 * pr, ww), fsrc.dtype)),
                  pltpu.VMEM((c * th, tw), jnp.float32)]
                 + ([pltpu.VMEM((c * th, tw), jnp.float32)] * 2
                    if return_minmax else [])
-                + [pltpu.SemaphoreType.DMA((2,)) if variant == "sloop"
+                + [pltpu.SemaphoreType.DMA((2, 3, 3)) if nopad
+                   else pltpu.SemaphoreType.DMA((2,)) if variant == "sloop"
                    else pltpu.SemaphoreType.DMA]
             ),
-        )(goff, vpad, fpad)
+        )(goff, vpad, fsrc)
         if return_minmax:
             out, mn, mx = out
             crop = (slice(None), slice(0, bh), slice(0, bw))

@@ -36,6 +36,7 @@ _SLOW = {
     ("test_aot_mosaic.py", "test_advect_kernel_compiles"),
     ("test_models_extra.py", "test_smoke_bf16_scalars"),
     ("test_pallas.py", "test_advect_pallas_clip01_bit_equal"),
+    ("test_pallas.py", "test_advect_sloop_nopad_bit_equal"),
     ("test_aot_mosaic.py", "test_advect3d_kernel_compiles"),
     ("test_aot_mosaic.py", "test_project_kernel_compiles"),
     ("test_aot_mosaic.py", "test_render_kernel_compiles"),

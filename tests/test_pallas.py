@@ -485,3 +485,29 @@ def test_advect_sloop_matches_panel(rng):
                        return_minmax=True)
     for x, y in zip(am, bm):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_advect_sloop_nopad_bit_equal(rng):
+    """The opt-in nopad (3x3 patchwork-window DMA, ops/pallas/window.py)
+    sloop path is bit-identical to the padded path on every eligible
+    dtype/channel combo, including the domain-edge programs whose skipped
+    strips must be zeroed.  Also proven bit-exact on v5e silicon at 4096^2
+    (tools/nopad_ab_probe.py); kept opt-in for perf reasons documented in
+    advect_pallas."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+
+    vel = jnp.asarray(rng.normal(0, 80, (2, 96, 256)).astype(F))
+    dye = jnp.asarray(rng.random((3, 96, 256)).astype(F))
+    kw = dict(max_disp=8, tile_h=32, tile_w=128, variant="sloop")
+    for f, ns, extra in ((vel, True, {}), (dye, False, {}),
+                         (dye.astype(jnp.bfloat16), False,
+                          dict(clip01=True))):
+        a = advect_pallas(f, vel, 1 / 30, ns, nopad=False, **kw, **extra)
+        b = advect_pallas(f, vel, 1 / 30, ns, nopad=True, **kw, **extra)
+        av, bv = np.asarray(a), np.asarray(b)
+        if av.itemsize == 2:      # bf16: compare raw bits
+            av, bv = av.view(np.uint16), bv.view(np.uint16)
+        np.testing.assert_array_equal(av, bv)
+    with pytest.raises(ValueError, match="nopad-eligible"):
+        advect_pallas(dye[:, :, :160], vel[:, :, :160], 1 / 30, False,
+                      nopad=True, **kw)
