@@ -73,8 +73,8 @@ def _time_chain(step1, state0, n):
 
 
 def bench_step_fps(cfg, n=20, render=False, render_s=1):
-    from esp32_fluid_simulation_tpu import (Impulses, init_state, make_step,
-                                            render_rgb565)
+    from esp32_fluid_simulation_tpu import (init_state, make_step,
+                                            make_step_render, render_rgb565)
     from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
 
     state = init_state(cfg)
@@ -91,19 +91,25 @@ def bench_step_fps(cfg, n=20, render=False, render_s=1):
     # drop the per-pixel lower clip (bit-exact for in-range inputs)
     unit = cfg.clamps_dye
 
-    @jax.jit
-    def step_render(st, imp):
-        # ONE device program per frame (the jitted step and render inline
-        # into the outer jit): halves the per-frame dispatches — the
-        # tunnel's dispatch latency dominates small grids.  The frame is a
-        # program OUTPUT (not folded into the chain): an output buffer is
-        # always fully materialized, whereas consuming one pixel inside the
-        # fused program would let XLA dead-code-eliminate the jnp-path
-        # render down to that pixel.
-        st = fn(st, imp)
-        if not render:
-            return st, ()
-        return st, render_rgb565(st.color, s=render_s, unit_range=unit)
+    if render and render_s == cfg.scaling:
+        # the model's fused step+render: ONE device program per frame; at
+        # scaling==1 on the kernel path the RGB565 pack rides the
+        # dye-advect store (no extra HBM pass)
+        step_render = make_step_render(cfg, donate=False)
+    else:
+        @jax.jit
+        def step_render(st, imp):
+            # ONE device program per frame (the jitted step and render
+            # inline into the outer jit): halves the per-frame dispatches —
+            # the tunnel's dispatch latency dominates small grids.  The
+            # frame is a program OUTPUT (not folded into the chain): an
+            # output buffer is always fully materialized, whereas consuming
+            # one pixel inside the fused program would let XLA
+            # dead-code-eliminate the jnp-path render down to that pixel.
+            st = fn(st, imp)
+            if not render:
+                return st, ()
+            return st, render_rgb565(st.color, s=render_s, unit_range=unit)
 
     frame = [0]
 

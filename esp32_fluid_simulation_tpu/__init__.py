@@ -13,7 +13,8 @@ Layer map (the TPU rendition of SURVEY.md §1):
 
 from .config import SimConfig, reference_config
 from .state import SimState, Impulses
-from .models import (init_state, step, make_step, make_step_with_metrics,
+from .models import (init_state, step, make_step, step_render,
+                     make_step_render, make_step_with_metrics,
                      make_multi_step, stack_schedule)
 from .render import render_rgb565, render_rgb8
 
@@ -27,6 +28,8 @@ __all__ = [
     "init_state",
     "step",
     "make_step",
+    "step_render",
+    "make_step_render",
     "make_step_with_metrics",
     "make_multi_step",
     "stack_schedule",

@@ -27,8 +27,7 @@ import jax
 from ..config import SimConfig
 from ..state import Impulses
 from ..models.stable_fluids import init_state
-from ..models import make_step
-from ..render import render_rgb565
+from ..models import make_step, make_step_render
 from .native import DragQueue, FrameHandshake, FramePacer, rgb565_to_rgb888
 
 
@@ -49,17 +48,10 @@ class SimPipeline:
         self._frame_slot = None
         self._stop = threading.Event()
         self._step_fn = make_step(cfg, donate=False)
-        s = cfg.scaling
-        unit = cfg.clamps_dye
-
-        @jax.jit
-        def step_render(st, imp):
-            # one device program per frame (step + render inline): halves
-            # the per-frame dispatch latency through the tunnel
-            st = self._step_fn(st, imp)
-            return st, render_rgb565(st.color, s=s, unit_range=unit)
-
-        self._step_render_fn = step_render
+        # one device program per frame (step + render inline): halves the
+        # per-frame dispatch latency through the tunnel; at scaling==1 on
+        # the kernel path the RGB565 pack rides the dye-advect store
+        self._step_render_fn = make_step_render(cfg, donate=False)
         self._frames_done = 0
 
     # -- input side (touch_routine's role) --------------------------------

@@ -3,6 +3,8 @@ from .stable_fluids import (
     apply_impulses,
     step,
     make_step,
+    step_render,
+    make_step_render,
     make_step_with_metrics,
     make_multi_step,
     stack_schedule,
@@ -13,6 +15,8 @@ __all__ = [
     "apply_impulses",
     "step",
     "make_step",
+    "step_render",
+    "make_step_render",
     "make_step_with_metrics",
     "make_multi_step",
     "stack_schedule",

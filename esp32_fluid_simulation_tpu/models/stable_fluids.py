@@ -272,6 +272,47 @@ def _project(vel: jax.Array, cfg: SimConfig,
     return subtract_gradient(vel, p, cfg.dx)
 
 
+def step_render(state: SimState, impulses: Impulses, cfg: SimConfig,
+                bswap: bool = True):
+    """One step plus the on-device RGB565 frame, in ONE program.
+
+    This is the serving shape of the reference's sim+draw pipeline
+    (``loop()`` + ``draw_routine``'s pack, ``.ino:249-289,164-176``): only
+    final packed pixels leave the device.  At ``cfg.scaling == 1`` on the
+    kernel path the pack rides the dye-advect store (zero extra HBM pass,
+    bit-identical to ``render_rgb565(state.color, s=1)``); otherwise the
+    render composes after the step in the same jitted program.
+    """
+    from ..render import render_rgb565
+
+    fused = (cfg.ndim == 2 and cfg.scaling == 1 and cfg.clamps_dye
+             and cfg.advector == "semilag" and cfg.domain_tile is None
+             and cfg.vorticity_eps == 0.0 and cfg.solver == "fused_pallas"
+             and _use_pallas_advect(cfg))
+    if not fused:
+        st = step(state, impulses, cfg)
+        return st, render_rgb565(st.color, s=cfg.scaling,
+                                 unit_range=cfg.clamps_dye)
+    from ..ops.pallas.advect import advect_pallas
+    adv = _advect_by(cfg)
+    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = _project(vel, cfg, impulses=impulses)
+    color, frame = advect_pallas(
+        state.color, vel, cfg.dt, False, max_disp=cfg.advect_max_disp,
+        sample_bf16=cfg.advect_sample_dtype == "bfloat16", clip01=True,
+        rgb565=True, bswap=bswap)
+    return SimState(velocity=vel, color=color,
+                    step=state.step + 1), frame
+
+
+def make_step_render(cfg: SimConfig, bswap: bool = True,
+                     donate: bool = True):
+    """Jitted ``(state, impulses) -> (state, rgb565_frame)`` — see
+    :func:`step_render`."""
+    fn = functools.partial(step_render, cfg=cfg, bswap=bswap)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
 def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
     """Step plus on-device observability (SURVEY §5 metrics subsystem):
     pre/post-projection divergence extrema, Poisson residual norm, max |v|.

@@ -348,7 +348,8 @@ def _advect_kernel_panel(goff_ref, vel_ref, field_hbm, *rest, dt, max_disp,
 def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
                                max_disp, tile_h, tile_w, pr, h, w, bh,
                                no_slip, pack, ret_minmax, member=None,
-                               clip01=False, nopad=False, rg=8):
+                               clip01=False, nopad=False, rg=8,
+                               rgb565=False, bswap=True):
     """Panel kernel with the loop order swapped (variant "sloop"):
     shift outside, panels inside.
 
@@ -368,6 +369,8 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
     if ret_minmax:
         (out_ref, mn_ref, mx_ref, src_vmem, acc_vmem, mn_vmem, mx_vmem,
          sem) = rest
+    elif rgb565:
+        out_ref, frame_ref, src_vmem, acc_vmem, sem = rest
     else:
         out_ref, src_vmem, acc_vmem, sem = rest
     n_ch = src_vmem.shape[1]
@@ -554,18 +557,36 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
                             mx_vmem[chsl, sl] = jnp.where(
                                 sel, jnp.maximum(cur_mx, hi), cur_mx)
 
+    stored = []
     for ch in range(n_ch):
         a = acc_vmem[ch * tile_h:(ch + 1) * tile_h, :]
         if no_slip:
             a = a * ns_factor
         if clip01:
             a = jnp.clip(a, 0.0, 1.0)
-        out_ref[ch, :, :] = a.astype(out_ref.dtype)
+        st_c = a.astype(out_ref.dtype)
+        out_ref[ch, :, :] = st_c
+        if rgb565:
+            stored.append(st_c.astype(f32))
         if ret_minmax:
             mn_ref[ch, :, :] = mn_vmem[ch * tile_h:(ch + 1) * tile_h,
                                        :].astype(mn_ref.dtype)
             mx_ref[ch, :, :] = mx_vmem[ch * tile_h:(ch + 1) * tile_h,
                                        :].astype(mx_ref.dtype)
+    if rgb565:
+        # the s=1 RGB565 pack rides the store: quantize the STORED (dtype-
+        # rounded) values so the frame is bit-identical to
+        # render_rgb565(out, s=1) on the written color.  clip01 guarantees
+        # [0, 1], so min() alone bounds the code (render _quant unit_range).
+        def q(v, bits):
+            return jnp.minimum((v * f32(1 << bits)).astype(jnp.int32),
+                               (1 << bits) - 1)
+
+        word = (q(stored[0], 5) << 11) | (q(stored[1], 6) << 5) \
+            | q(stored[2], 5)
+        if bswap:
+            word = ((word << 8) | (word >> 8)) & 0xFFFF
+        frame_ref[:, :] = word.astype(jnp.uint16)
 
 
 def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
@@ -649,7 +670,7 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
                      "sample_bf16", "return_minmax", "member", "clip01",
-                     "nopad"))
+                     "nopad", "rgb565", "bswap"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 64, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "sloop",
@@ -657,7 +678,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   global_shape: Tuple[int, int] | None = None,
                   halo: int = 0, sample_bf16: bool = False,
                   return_minmax: bool = False, member=None,
-                  clip01: bool = False, nopad: bool | None = None):
+                  clip01: bool = False, nopad: bool | None = None,
+                  rgb565: bool = False, bswap: bool = True):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -700,6 +722,10 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         raise ValueError("tiled-domain mode requires the panel/fori variants")
     if clip01 and variant not in panel_like:
         raise ValueError("clip01 requires the panel/fori variants")
+    if rgb565 and (variant != "sloop" or not clip01 or return_minmax
+                   or field.ndim != 3 or field.shape[0] != 3):
+        raise ValueError("rgb565 needs the sloop variant with clip01 on a "
+                         "3-channel field (and no return_minmax)")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -740,14 +766,15 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                     and hp == bh and wp == bw
                     and pr % rg == 0 and th % rg == 0 and th >= pr)
         if nopad is None:
-            # Default OFF: the patchwork path is bit-exact on silicon
-            # (tools/nopad_ab_probe.py) but the conditional 3x3 DMA issue
-            # pattern executes far slower than the single rectangular
-            # window DMA it replaces — the pl.when-guarded copies defeat
-            # Mosaic's DMA pipelining (measured 2026-08-19; see
-            # docs/PERFORMANCE.md "nopad experiment").  Kept opt-in as the
-            # starting point for a future strided/clamped-descriptor fix.
-            nopad = False
+            # Default ON when eligible: the patchwork pieces are issued
+            # UNCONDITIONALLY with clamped sources (ops/pallas/window.py)
+            # — the original pl.when-guarded variant was a perf wash (the
+            # guards defeat Mosaic's DMA pipelining), but the clamped form
+            # pipelines like plain copies and skips the fpad HBM copy:
+            # vel f32 3.11 -> 2.34 ms, dye bf16 1.97 -> 1.90 ms at 4096^2
+            # on an evolved production field, bit-exact
+            # (tools/nopad_evolved_probe.py, 2026-08-19).
+            nopad = nopad_ok
         elif nopad and not nopad_ok:
             raise ValueError("nopad=True requested but the config is not "
                              "nopad-eligible (needs sloop, no block halo, "
@@ -773,15 +800,26 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
         kern_fn = (_advect_kernel_panel if variant == "panel"
                    else _advect_kernel_panel_sloop)
+        kwextra = dict(rgb565=rgb565, bswap=bswap) if variant == "sloop" \
+            else {}
         kernel = functools.partial(
             kern_fn, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
             ret_minmax=return_minmax, member=member, clip01=clip01,
-            nopad=nopad, rg=rg)
+            nopad=nopad, rg=rg, **kwextra)
 
         grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                   memory_space=pltpu.VMEM)
         sds = jax.ShapeDtypeStruct((c, hp, wp), field.dtype)
+        if return_minmax:
+            out_specs, out_shape = (grid_block,) * 3, (sds,) * 3
+        elif rgb565:
+            out_specs = (grid_block,
+                         pl.BlockSpec((th, tw), lambda r, cl: (r, cl),
+                                      memory_space=pltpu.VMEM))
+            out_shape = (sds, jax.ShapeDtypeStruct((hp, wp), jnp.uint16))
+        else:
+            out_specs, out_shape = grid_block, sds
         out = pl.pallas_call(
             kernel,
             grid=(hp // th, wp // tw),
@@ -792,8 +830,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
             ],
-            out_specs=((grid_block,) * 3 if return_minmax else grid_block),
-            out_shape=((sds,) * 3 if return_minmax else sds),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=(
                 [(pltpu.VMEM((2, c, th + 2 * pr, ww), fsrc.dtype)
                   if variant == "sloop" else
@@ -841,6 +879,10 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             ),
         )(vpad, fpad)
 
+    if rgb565:
+        out, frame = out
+        # render s=1 crops the lerp-endpoint row/col (upscale_bilinear)
+        return out[:, :bh, :bw], frame[:bh - 1, :bw - 1]
     out = out[:, :bh, :bw]
     return out[0] if squeeze else out
 

@@ -29,10 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rb_common import packed_rb_solve_full
 from .tiling import pick_tile
+from .window import window_ops, issue
 
 
 def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
-                    pr, pc, h, w, bh, bw, member=None, n_imp=0):
+                    pr, pc, h, w, bh, bw, member=None, n_imp=0,
+                    clamped=False):
     if n_imp:
         (ipos_ref, ivel_ref, iact_ref, v_hbm, vout_ref, pout_ref,
          vwin_vmem, sem) = args
@@ -54,22 +56,48 @@ def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
     idx = r * nc_ + c
     slot = jax.lax.rem(idx, 2)
 
-    def win_dma(i, s):
-        r0 = (i // nc_) * tile_h
-        c0 = jax.lax.rem(i, nc_) * tile_w
-        return pltpu.make_async_copy(
-            v_hbm.at[:, pl.ds(r0, wh), pl.ds(c0, ww)],
-            vwin_vmem.at[s], sem.at[s])
+    if clamped:
+        # Clamped-patchwork mode: the window streams straight from the
+        # UNPADDED field as 9 unconditional pieces whose SOURCE starts are
+        # clamped into the field (ops/pallas/window.py).  Pieces land at
+        # their correct dst offsets, so the owned tile stays at the static
+        # (pr, pc) origin; out-of-domain window cells hold misplaced-but-
+        # finite field data that the ``in_dom`` mask below zeroes before
+        # the solve — the same contract the padded layout met with its
+        # zero ring.  The vpad HBM copy disappears.
+        def win_ops(i, s):
+            return window_ops(v_hbm, vwin_vmem.at[s], sem.at[s], i,
+                              nc=nc_, npr=pl.num_programs(0), th=tile_h,
+                              tw=tile_w, pr=pr, lpad=pc,
+                              rg=16 if vwin_vmem.dtype.itemsize == 2 else 8,
+                              clamp=True)
+
+        def start_win(i, s):
+            issue(win_ops(i, s), "start")
+
+        def wait_win(i, s):
+            issue(win_ops(i, s), "wait")
+    else:
+        def win_dma(i, s):
+            r0 = (i // nc_) * tile_h
+            c0 = jax.lax.rem(i, nc_) * tile_w
+            return pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(r0, wh), pl.ds(c0, ww)],
+                vwin_vmem.at[s], sem.at[s])
+
+        def start_win(i, s):
+            win_dma(i, s).start()
+
+        def wait_win(i, s):
+            win_dma(i, s).wait()
 
     @pl.when(idx == 0)
     def _():
-        win_dma(idx, slot).start()
+        start_win(idx, slot)
 
     @pl.when(idx + 1 < pl.num_programs(0) * nc_)
     def _():
-        win_dma(idx + 1, 1 - slot).start()
-
-    dma = win_dma(idx, slot)
+        start_win(idx + 1, 1 - slot)
 
     f32 = jnp.float32
     # global coordinates: block-local window position + the (traced) block
@@ -105,7 +133,7 @@ def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
         at_j_lo = gjm == 0
         at_j_hi = gjm == mw - 1
 
-    dma.wait()
+    wait_win(idx, slot)
     vx = jnp.where(in_dom, vwin_vmem[slot, 0].astype(f32), 0.0)
     vy = jnp.where(in_dom, vwin_vmem[slot, 1].astype(f32), 0.0)
 
@@ -171,13 +199,13 @@ def _project_kernel(goff_ref, *args, iters, omega, dx, tile_h, tile_w,
 @functools.partial(jax.jit,
                    static_argnames=("dx", "iters", "omega", "tile_h",
                                     "tile_w", "global_shape", "halo",
-                                    "member"))
+                                    "member", "clamped"))
 def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
                          omega: float = 1.96, tile_h: int | None = None,
                          tile_w: int | None = None,
                          global_offset: jax.Array | None = None,
                          global_shape=None, halo: int = 0, member=None,
-                         impulses=None):
+                         impulses=None, clamped: bool | None = None):
     """(projected velocity, pressure) — replaces divergence + sor_solve +
     subtract_gradient for 2D grids.
 
@@ -206,7 +234,10 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
         _, bh, bw = vel.shape
         h, w = bh, bw
         halo = 0
-    pr = pl.cdiv(need, 8) * 8
+    # sublane halo rounded to the dtype's sublane tile (8 rows for 4-byte,
+    # 16 for 2-byte) so clamped-patchwork DMA starts stay provably aligned
+    rg = 16 if vel.dtype.itemsize == 2 else 8
+    pr = pl.cdiv(need, rg) * rg
     pc = pl.cdiv(need, 128) * 128
     if halo > min(pr, pc):
         raise ValueError(f"halo={halo} exceeds the aligned kernel window "
@@ -223,8 +254,23 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     goff = (jnp.zeros((1, 2), jnp.int32) if global_offset is None
             else global_offset.astype(jnp.int32).reshape(1, 2))
 
-    vpad = jnp.pad(vel, ((0, 0), (pr - halo, pr - halo + hp - bh),
-                         (pc - halo, pc - halo + wp - bw)))
+    # Clamped-patchwork mode: read windows straight from the UNPADDED field
+    # as 9 unconditional clamped-source DMA pieces (ops/pallas/window.py) —
+    # the vpad HBM copy disappears (silicon A/B at 4096^2 f32: 3.66 ->
+    # 1.85 ms, bit-exact, tools/proj_clamp_probe.py); the kernel's in_dom
+    # mask already zeroes whatever lands in out-of-domain window cells.
+    # Needs exact tiling and no embedded block halo.
+    clamped_ok = not block_mode and hp == bh and wp == bw and th % rg == 0
+    if clamped is None:
+        clamped = clamped_ok
+    elif clamped and not clamped_ok:
+        raise ValueError("clamped=True needs exact tiling, no block halo, "
+                         "and rg-aligned tile_h")
+    if clamped:
+        vpad = vel
+    else:
+        vpad = jnp.pad(vel, ((0, 0), (pr - halo, pr - halo + hp - bh),
+                             (pc - halo, pc - halo + wp - bw)))
 
     n_imp = 0
     imp_args = []
@@ -251,7 +297,7 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
     kernel = functools.partial(
         _project_kernel, iters=iters, omega=omega, dx=dx,
         tile_h=th, tile_w=tw, pr=pr, pc=pc, h=h, w=w, bh=bh, bw=bw,
-        member=member, n_imp=n_imp)
+        member=member, n_imp=n_imp, clamped=clamped)
 
     vout, pout = pl.pallas_call(
         kernel,
@@ -274,7 +320,8 @@ def project_fused_pallas(vel: jax.Array, dx: float = 1.0, iters: int = 10,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, th + 2 * pr, tw + 2 * pc), vpad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            (pltpu.SemaphoreType.DMA((2, 3, 3)) if clamped
+             else pltpu.SemaphoreType.DMA((2,))),
         ],
     )(goff, *imp_args, vpad)
     return vout[:, :bh, :bw], pout[:bh, :bw]

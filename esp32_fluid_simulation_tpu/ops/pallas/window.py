@@ -41,8 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_PAD = 128
 
 
-def window_ops(field, dst, sem, i, *, nc, npr, th, tw, pr, lpad, rg=8):
-    """Build the 3x3 conditional patchwork loading window ``i``.
+def window_ops(field, dst, sem, i, *, nc, npr, th, tw, pr, lpad, rg=8,
+               clamp=True):
+    """Build the 3x3 patchwork loading window ``i``.
 
     field: HBM ref ``[C, H, W]`` (unpadded; H = npr*th, W = nc*tw).
     dst:   VMEM ref ``[C, th + 2*pr, tw + 2*lpad]`` (a ``.at[slot]`` view
@@ -52,6 +53,17 @@ def window_ops(field, dst, sem, i, *, nc, npr, th, tw, pr, lpad, rg=8):
     i:     traced linear program index ``r*nc + c`` — may be this
            program's or a prefetch target's.
     rg:    sublane tile of ``field.dtype`` (8 for 4-byte, 16 for 2-byte).
+
+    clamp=True (default): every piece is issued UNCONDITIONALLY with its
+    source start clamped into the field — out-of-domain pieces load
+    misplaced-but-finite field data that :func:`zero_skipped_strips` (or an
+    in-domain mask) must overwrite, exactly like the skipped-strip contract.
+    The 2026-08-19 probes found the ``pl.when``-guarded variant a perf
+    wash: the conditional issue pattern defeats Mosaic's DMA pipelining.
+    Unconditional clamped pieces pipeline like plain copies.
+
+    clamp=False: the original conditional patchwork (edge pieces skipped
+    via ``pl.when``), kept for A/B.
 
     Returns ``[(cond_or_None, async_copy), ...]``; pass to :func:`issue`
     with ``"start"`` and later ``"wait"``.  Both calls must be built from
@@ -64,27 +76,40 @@ def window_ops(field, dst, sem, i, *, nc, npr, th, tw, pr, lpad, rg=8):
     rr = i // nc
     cc = jax.lax.rem(i, nc)
     # explicit g-factoring: Mosaic only accepts provably-divisible starts
-    row = lambda k: pl.multiple_of(k * rg, rg)          # noqa: E731
-    lane = lambda k: pl.multiple_of(k * 128, 128)       # noqa: E731
+    hg = npr * (th // rg)      # field height in sublane tiles
+    wl = nc * (tw // 128)      # field width in lane tiles
+
+    def row(k, nrow):
+        if clamp:
+            k = jnp.clip(k, 0, hg - nrow // rg)
+        return pl.multiple_of(k * rg, rg)
+
+    def lane(k, nlane):
+        if clamp:
+            k = jnp.clip(k, 0, wl - nlane // 128)
+        return pl.multiple_of(k * 128, 128)
+
     thg, prg = th // rg, pr // rg
     twl, lpl = tw // 128, lpad // 128
     rbands = [  # (dst row offset, src row start, rows, condition)
-        (0, row(rr * thg - prg), pr, rr > 0),
-        (pr, row(rr * thg), th, None),
-        (pr + th, row(rr * thg + thg), pr, rr < npr - 1),
+        (0, row(rr * thg - prg, pr), pr, rr > 0),
+        (pr, row(rr * thg, th), th, None),
+        (pr + th, row(rr * thg + thg, pr), pr, rr < npr - 1),
     ]
     lbands = [  # (dst lane offset, src lane start, lanes, condition)
-        (0, lane(cc * twl - lpl), lpad, cc > 0),
-        (lpad, lane(cc * twl), tw, None),
-        (lpad + tw, lane(cc * twl + twl), lpad, cc < nc - 1),
+        (0, lane(cc * twl - lpl, lpad), lpad, cc > 0),
+        (lpad, lane(cc * twl, tw), tw, None),
+        (lpad + tw, lane(cc * twl + twl, lpad), lpad, cc < nc - 1),
     ]
     ops = []
     for bi, (dr, fr, nrow, rcond) in enumerate(rbands):
         for bj, (dl, fl, nlane, ccond) in enumerate(lbands):
             cond = None
-            for c_ in (rcond, ccond):
-                if c_ is not None:
-                    cond = c_ if cond is None else jnp.logical_and(cond, c_)
+            if not clamp:
+                for c_ in (rcond, ccond):
+                    if c_ is not None:
+                        cond = (c_ if cond is None
+                                else jnp.logical_and(cond, c_))
             cp = pltpu.make_async_copy(
                 field.at[:, pl.ds(fr, nrow), pl.ds(fl, nlane)],
                 dst.at[:, pl.ds(dr, nrow), pl.ds(dl, nlane)],

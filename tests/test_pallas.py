@@ -488,12 +488,12 @@ def test_advect_sloop_matches_panel(rng):
 
 
 def test_advect_sloop_nopad_bit_equal(rng):
-    """The opt-in nopad (3x3 patchwork-window DMA, ops/pallas/window.py)
-    sloop path is bit-identical to the padded path on every eligible
-    dtype/channel combo, including the domain-edge programs whose skipped
-    strips must be zeroed.  Also proven bit-exact on v5e silicon at 4096^2
-    (tools/nopad_ab_probe.py); kept opt-in for perf reasons documented in
-    advect_pallas."""
+    """The nopad (clamped-patchwork-window DMA, ops/pallas/window.py)
+    sloop path — the DEFAULT when eligible since the unconditional clamped
+    pieces beat the padded path on silicon (vel f32 3.11 -> 2.34 ms at
+    4096^2, tools/nopad_evolved_probe.py) — is bit-identical to the padded
+    path on every eligible dtype/channel combo, including the domain-edge
+    programs whose skipped strips must be zeroed."""
     from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
 
     vel = jnp.asarray(rng.normal(0, 80, (2, 96, 256)).astype(F))
@@ -511,3 +511,85 @@ def test_advect_sloop_nopad_bit_equal(rng):
     with pytest.raises(ValueError, match="nopad-eligible"):
         advect_pallas(dye[:, :, :160], vel[:, :, :160], 1 / 30, False,
                       nopad=True, **kw)
+
+
+def test_advect_pallas_rgb565_bit_equal(rng):
+    """rgb565=True (the s=1 RGB565 pack riding the dye-advect store — the
+    production step_render path) returns a frame bit-identical to
+    render_rgb565(out, s=1) on the stored color, for bf16 and f32 dye,
+    with and without bswap.  Also proven bit-exact on v5e silicon at
+    4096^2 (tools/step_render_probe.py)."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+    from esp32_fluid_simulation_tpu.render import render_rgb565
+
+    vel = jnp.asarray(rng.normal(0, 80, (2, 96, 256)).astype(F))
+    kw = dict(max_disp=8, tile_h=32, tile_w=128, variant="sloop")
+    for dtype in (jnp.bfloat16, jnp.float32):
+        dye = (3.0 * jnp.asarray(rng.random((3, 96, 256), dtype=F))
+               - 1.0).astype(dtype)
+        for bswap in (True, False):
+            out, frame = advect_pallas(dye, vel, 1 / 30, False, clip01=True,
+                                       rgb565=True, bswap=bswap, **kw)
+            ref_out = advect_pallas(dye, vel, 1 / 30, False, clip01=True,
+                                    **kw)
+            ref_frame = render_rgb565(ref_out, s=1, bswap=bswap,
+                                      unit_range=True)
+            np.testing.assert_array_equal(
+                np.asarray(out).view(np.uint16 if out.dtype.itemsize == 2
+                                     else np.uint32),
+                np.asarray(ref_out).view(np.uint16
+                                         if out.dtype.itemsize == 2
+                                         else np.uint32))
+            assert frame.shape == (95, 255) and frame.dtype == jnp.uint16
+            np.testing.assert_array_equal(np.asarray(frame),
+                                          np.asarray(ref_frame))
+    with pytest.raises(ValueError, match="rgb565"):
+        advect_pallas(dye, vel, 1 / 30, False, rgb565=True, **kw)
+
+
+def test_step_render_fused_matches_composed(rng, monkeypatch):
+    """models.step_render's fused path (kernel advect + in-store RGB565)
+    == step() + render_rgb565 bit-for-bit, forced onto the kernel path on
+    CPU via the interpret fixture."""
+    from esp32_fluid_simulation_tpu import SimConfig, render_rgb565
+    from esp32_fluid_simulation_tpu.models import stable_fluids as sf
+
+    monkeypatch.setattr(sf, "_use_pallas_advect", lambda cfg: True)
+    cfg = SimConfig(shape=(64, 128), scaling=1, solver="fused_pallas",
+                    advect_impl="pallas", color_dtype="bfloat16",
+                    advect_max_disp=8)
+    st = sf.init_state(cfg)
+    from esp32_fluid_simulation_tpu.state import Impulses
+    imp = Impulses.from_lists(cfg, [(5, 7), (20, 40)],
+                              [(30.0, -12.0), (-8.0, 25.0)])
+    st2, frame = sf.step_render(st, imp, cfg)
+    ref = sf.step(st, imp, cfg)
+    ref_frame = render_rgb565(ref.color, s=1, unit_range=cfg.clamps_dye)
+    np.testing.assert_array_equal(
+        np.asarray(st2.velocity), np.asarray(ref.velocity))
+    np.testing.assert_array_equal(
+        np.asarray(st2.color).view(np.uint16),
+        np.asarray(ref.color).view(np.uint16))
+    np.testing.assert_array_equal(np.asarray(frame), np.asarray(ref_frame))
+
+
+def test_project_fused_clamped_window_bit_equal(rng):
+    """The clamped-patchwork window path (exact tiling: windows stream from
+    the UNPADDED field, ops/pallas/window.py clamp mode) == the padded path
+    bit-for-bit — cells beyond the trapezoid horizon cannot reach the owned
+    tile, and the in_dom mask zeroes the misplaced edge data.  Also proven
+    bit-exact on v5e silicon at 4096^2 (tools/proj_clamp_probe.py:
+    3.66 -> 1.85 ms)."""
+    from esp32_fluid_simulation_tpu.ops.pallas import project as P
+
+    v = jnp.asarray((5 * rng.standard_normal((2, 128, 256))).astype(F))
+    # exact tiling (128/64, 256/128) -> clamped mode engages by default
+    v_c, p_c = P.project_fused_pallas(v, 1.0, 10, 1.96,
+                                      tile_h=64, tile_w=128)
+    v_q, p_q = P.project_fused_pallas(v, 1.0, 10, 1.96,
+                                      tile_h=64, tile_w=128, clamped=False)
+    np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_q))
+    np.testing.assert_array_equal(np.asarray(p_c), np.asarray(p_q))
+    with pytest.raises(ValueError, match="clamped"):
+        P.project_fused_pallas(v[:, :120, :], 1.0, 10, 1.96,
+                               tile_h=64, tile_w=128, clamped=True)
