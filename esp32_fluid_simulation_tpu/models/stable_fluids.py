@@ -142,13 +142,23 @@ def _advect_by(cfg: SimConfig):
     if use_kernel:
         from ..ops.pallas.advect import advect_pallas
 
-        def adv(field, vel, dt, no_slip, clip01=False):
+        def adv(field, vel, dt, no_slip, clip01=False, self_advect=False):
             return advect_pallas(field, vel, dt, no_slip,
                                  max_disp=cfg.advect_max_disp,
-                                 sample_bf16=bf16, clip01=clip01)
+                                 sample_bf16=bf16, clip01=clip01,
+                                 self_advect=self_advect)
         adv.fuses_clip01 = True
+        adv.takes_self_advect = True
         return adv
     return advect
+
+
+def _self_advect(adv, vel, dt):
+    """Velocity self-advect (``.ino:251-256``); on the sloop kernel the
+    backtrace reads the in-window velocity (no second field read)."""
+    if getattr(adv, "takes_self_advect", False):
+        return adv(vel, vel, dt, no_slip=True, self_advect=True)
+    return adv(vel, vel, dt, no_slip=True)
 
 
 def _to_members(x: jax.Array, mh: int, mw: int) -> jax.Array:
@@ -185,13 +195,13 @@ def _step_tiled(state: SimState, impulses: Impulses,
         from ..ops.pallas.project import project_fused_pallas
         bf16 = cfg.advect_sample_dtype == "bfloat16"
 
-        def adv(field, vel, no_slip, clip01=False):
+        def adv(field, vel, no_slip, clip01=False, self_advect=False):
             return advect_pallas(field, vel, cfg.dt, no_slip,
                                  max_disp=cfg.advect_max_disp,
                                  member=(mh, mw), sample_bf16=bf16,
-                                 clip01=clip01)
+                                 clip01=clip01, self_advect=self_advect)
 
-        vel = adv(state.velocity, state.velocity, True)
+        vel = adv(state.velocity, state.velocity, True, self_advect=True)
         vel = apply_fn(vel)
         vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
                                       member=(mh, mw))
@@ -227,7 +237,7 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
         return _step_tiled(state, impulses, cfg)
     adv = _advect_by(cfg)
 
-    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = _self_advect(adv, state.velocity, cfg.dt)
     # Production fast path: the fused projection kernel drains the drag
     # queue in-window (same .ino:258-278 order, bit-identical result),
     # saving the standalone scatter's full velocity HBM round trip.
@@ -295,7 +305,7 @@ def step_render(state: SimState, impulses: Impulses, cfg: SimConfig,
                                  unit_range=cfg.clamps_dye)
     from ..ops.pallas.advect import advect_pallas
     adv = _advect_by(cfg)
-    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = _self_advect(adv, state.velocity, cfg.dt)
     vel = _project(vel, cfg, impulses=impulses)
     color, frame = advect_pallas(
         state.color, vel, cfg.dt, False, max_disp=cfg.advect_max_disp,
@@ -319,7 +329,7 @@ def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
     All reductions stay on device; fetch lazily."""
     adv = _advect_by(cfg)
 
-    vel = adv(state.velocity, state.velocity, cfg.dt, no_slip=True)
+    vel = _self_advect(adv, state.velocity, cfg.dt)
     vel = apply_impulses(vel, impulses)
     if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)

@@ -349,9 +349,16 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
                                max_disp, tile_h, tile_w, pr, h, w, bh,
                                no_slip, pack, ret_minmax, member=None,
                                clip01=False, nopad=False, rg=8,
-                               rgb565=False, bswap=True):
+                               rgb565=False, bswap=True, self_adv=False):
     """Panel kernel with the loop order swapped (variant "sloop"):
     shift outside, panels inside.
+
+    ``self_adv``: field IS the velocity (the step's self-advect) —
+    ``vel_ref`` is None and the backtrace reads the tile's velocity from
+    the window CORE instead of a second BlockSpec input, dropping one full
+    read of the velocity field per call.  The wait moves ahead of the
+    backtrace; double-buffered prefetch keeps it cheap for every program
+    but the first.
 
     The "panel" kernel evaluates a ``pl.when`` guard per (panel, slot) —
     ``(tile_w/128) * (2*max_disp+2)`` = 208 guard evaluations per tile at
@@ -428,20 +435,33 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
 
     f32 = jnp.float32
     goff = (goff_ref[0, 0], goff_ref[0, 1])
+    if self_adv:
+        # the tile's velocity IS the window core: wait first (the
+        # double-buffered prefetch makes this near-free except program 0),
+        # then backtrace from the in-window values — no separate vel read.
+        wait_win(idx, slot)
+        if nopad:
+            zero_skipped_strips(src_vmem.at[slot], r, cidx, npr_, nc_,
+                                n_ch=n_ch, th=tile_h, tw=tile_w, pr=pr,
+                                lpad=LANE_PAD, dtype=src_vmem.dtype)
+        off = LANE_PAD if nopad else _PANEL_LH
+        vel_ref = [src_vmem[slot, ch][pr:pr + tile_h, off:off + tile_w]
+                   for ch in range(2)]
     rel_i, (w_i0, w_i1), j0, dj, row_valid, ns_factor = _backtrace(
         vel_ref, row0, col0, dt=dt, max_disp=max_disp, tile_h=tile_h,
         tile_w=tile_w, h=h, w=w, no_slip=no_slip, goff=goff, bh=bh,
         member=member)
     lj = (j0 - goff[1].astype(f32) - f32(col0 - _PANEL_LH)).astype(jnp.int32)
 
-    wait_win(idx, slot)
-    if nopad:
-        # strips the patchwork skipped at domain edges hold stale/uninit
-        # VMEM; the multiply-accumulate below needs them FINITE (0*NaN
-        # would poison valid outputs), so zero them.  Edge programs only.
-        zero_skipped_strips(src_vmem.at[slot], r, cidx, npr_, nc_,
-                            n_ch=n_ch, th=tile_h, tw=tile_w, pr=pr,
-                            lpad=LANE_PAD, dtype=src_vmem.dtype)
+    if not self_adv:
+        wait_win(idx, slot)
+        if nopad:
+            # strips the patchwork skipped at domain edges hold stale/uninit
+            # VMEM; the multiply-accumulate below needs them FINITE (0*NaN
+            # would poison valid outputs), so zero them.  Edge programs only.
+            zero_skipped_strips(src_vmem.at[slot], r, cidx, npr_, nc_,
+                                n_ch=n_ch, th=tile_h, tw=tile_w, pr=pr,
+                                lpad=LANE_PAD, dtype=src_vmem.dtype)
 
     wins = []
     wins_next = []
@@ -670,7 +690,7 @@ def _advect_kernel(vel_ref, field_hbm, out_ref, src_vmem, *scratch,
     static_argnames=("dt", "no_slip", "max_disp", "tile_h", "tile_w",
                      "static_unroll", "variant", "global_shape", "halo",
                      "sample_bf16", "return_minmax", "member", "clip01",
-                     "nopad", "rgb565", "bswap"))
+                     "nopad", "rgb565", "bswap", "self_advect"))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   max_disp: int = 12, tile_h: int = 64, tile_w: int = 1024,
                   static_unroll: bool | None = None, variant: str = "sloop",
@@ -679,7 +699,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   halo: int = 0, sample_bf16: bool = False,
                   return_minmax: bool = False, member=None,
                   clip01: bool = False, nopad: bool | None = None,
-                  rgb565: bool = False, bswap: bool = True):
+                  rgb565: bool = False, bswap: bool = True,
+                  self_advect: bool = False):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -726,6 +747,10 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                    or field.ndim != 3 or field.shape[0] != 3):
         raise ValueError("rgb565 needs the sloop variant with clip01 on a "
                          "3-channel field (and no return_minmax)")
+    if self_advect and (variant != "sloop" or global_offset is not None
+                        or field.ndim != 3 or field.shape[0] != 2):
+        raise ValueError("self_advect needs the sloop variant on a "
+                         "2-channel field (field IS vel), single device")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -800,13 +825,18 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
         kern_fn = (_advect_kernel_panel if variant == "panel"
                    else _advect_kernel_panel_sloop)
-        kwextra = dict(rgb565=rgb565, bswap=bswap) if variant == "sloop" \
-            else {}
+        kwextra = (dict(rgb565=rgb565, bswap=bswap, self_adv=self_advect)
+                   if variant == "sloop" else {})
         kernel = functools.partial(
             kern_fn, dt=dt, max_disp=max_disp, tile_h=th,
             tile_w=tw, pr=pr, h=h, w=w, bh=bh, no_slip=no_slip, pack=pack,
             ret_minmax=return_minmax, member=member, clip01=clip01,
             nopad=nopad, rg=rg, **kwextra)
+        if self_advect:
+            base_kernel = kernel
+
+            def kernel(goff_ref, field_hbm, *rest):
+                return base_kernel(goff_ref, None, field_hbm, *rest)
 
         grid_block = pl.BlockSpec((c, th, tw), lambda r, cl: (0, r, cl),
                                   memory_space=pltpu.VMEM)
@@ -820,14 +850,16 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
             out_shape = (sds, jax.ShapeDtypeStruct((hp, wp), jnp.uint16))
         else:
             out_specs, out_shape = grid_block, sds
+        vel_spec = [] if self_advect else [
+            pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
+                         memory_space=pltpu.VMEM)]
         out = pl.pallas_call(
             kernel,
             grid=(hp // th, wp // tw),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda r, cl: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
-                             memory_space=pltpu.VMEM),
+            ] + vel_spec + [
                 pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
             ],
             out_specs=out_specs,
@@ -843,7 +875,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                    else pltpu.SemaphoreType.DMA((2,)) if variant == "sloop"
                    else pltpu.SemaphoreType.DMA]
             ),
-        )(goff, vpad, fsrc)
+        )(*((goff, fsrc) if self_advect else (goff, vpad, fsrc)))
         if return_minmax:
             out, mn, mx = out
             crop = (slice(None), slice(0, bh), slice(0, bw))

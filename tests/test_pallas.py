@@ -593,3 +593,20 @@ def test_project_fused_clamped_window_bit_equal(rng):
     with pytest.raises(ValueError, match="clamped"):
         P.project_fused_pallas(v[:, :120, :], 1.0, 10, 1.96,
                                tile_h=64, tile_w=128, clamped=True)
+
+
+def test_advect_self_advect_bit_equal(rng):
+    """self_advect=True (backtrace velocity read from the window core, no
+    second BlockSpec read of the field) == the two-input path bit-for-bit,
+    padded and nopad, exact and non-exact tiling."""
+    from esp32_fluid_simulation_tpu.ops.pallas.advect import advect_pallas
+
+    for shape in ((96, 256), (88, 200)):   # exact / non-exact tiling
+        vel = jnp.asarray(rng.normal(0, 80, (2,) + shape).astype(F))
+        kw = dict(max_disp=8, tile_h=32, tile_w=128, variant="sloop")
+        a = advect_pallas(vel, vel, 1 / 30, True, **kw)
+        b = advect_pallas(vel, vel, 1 / 30, True, self_advect=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="self_advect"):
+        advect_pallas(jnp.zeros((3, 96, 256), F), vel, 1 / 30, False,
+                      self_advect=True)
