@@ -76,6 +76,8 @@ _SLOW = {
     ("test_sharded_smoke.py",
      "test_sharded_smoke_kernel_advect_matches_single_device"),
     ("test_sharded_smoke.py", "test_sharded_smoke_matches_single_device"),
+    ("test_sharded_smoke.py",
+     "test_sharded_smoke_bf16_default_matches_single_device"),
     ("test_sharded_smoke.py", "test_sharded_smoke_kernel_sor_matches_single_device"),
     ("test_sharded_smoke.py",
      "test_sharded_smoke_multigrid_matches_single_device"),

@@ -63,12 +63,14 @@ def gen_smoke():
     fn = make_smoke_step(cfg, donate=False)
     for _ in range(STEPS):
         st = fn(st)
+    # scalars default to bfloat16 storage since r4 (b70f331) — save as
+    # float32 (npz cannot hold ml_dtypes), exact cast, compared likewise
     np.savez_compressed(
         os.path.join(OUT, "path_smoke3d.npz"),
         velocity=np.asarray(st.velocity),
-        density=np.asarray(st.density),
-        temperature=np.asarray(st.temperature))
-    print(f"smoke3d: rho_max={np.asarray(st.density).max():.4f}")
+        density=np.asarray(st.density, np.float32),
+        temperature=np.asarray(st.temperature, np.float32))
+    print(f"smoke3d: rho_max={np.asarray(st.density, np.float32).max():.4f}")
 
 
 def main():
