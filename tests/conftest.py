@@ -94,6 +94,7 @@ _SLOW = {
     ("test_models_extra.py", "test_smoke_with_vorticity_confinement"),
     ("test_sharded_smoke.py", "test_sharded_smoke_vorticity_matches_single_device"),
     ("test_sharded.py", "test_sharded_jacobi_matches_single_device"),
+    ("test_dcn.py", "test_two_process_mesh_matches_single_device"),
     ("test_sharded.py", "test_batched_spatial_mesh_runs"),
     ("test_pallas.py", "test_project_fused_matches_composed"),
     ("test_pallas.py", "test_advect_pallas_static_unroll"),
