@@ -256,7 +256,8 @@ def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
     from esp32_fluid_simulation_tpu.models.stable_fluids import (
         init_state, _step_tiled)
     from esp32_fluid_simulation_tpu.models.ensemble import (
-        tiled_ensemble_config, stack_impulses, _apply_member_impulses)
+        tiled_ensemble_config, stack_impulses, _apply_member_impulses,
+        _member_impulse_overlay)
     from esp32_fluid_simulation_tpu.io_host.touch import scripted_swirl
 
     member = SimConfig(shape=shape, scaling=1, color_dtype="bfloat16")
@@ -268,7 +269,9 @@ def bench_tiled_ensemble_steps(n_members=256, shape=(256, 256), n=10,
                           for m in range(n_members)])
     apply_fn = lambda v: _apply_member_impulses(  # noqa: E731
         v, imp=imp, gh=gh, gw=gw, mh=h, mw=w)
-    fn = _jax.jit(lambda s: _step_tiled(s, None, cfg, apply_fn=apply_fn))
+    overlay = _member_impulse_overlay(imp, gh=gh, gw=gw, mh=h, mw=w)
+    fn = _jax.jit(lambda s: _step_tiled(s, None, cfg, apply_fn=apply_fn,
+                                        overlay=overlay))
 
     def one(st):
         return fn(st)

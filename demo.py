@@ -62,24 +62,28 @@ def run_2d(args):
 
 
 def run_smoke(args):
+    import jax
     from esp32_fluid_simulation_tpu.models.smoke3d import (SmokeConfig,
                                                            init_smoke,
                                                            make_smoke_step)
+    from esp32_fluid_simulation_tpu.render import render_smoke
     cfg = SmokeConfig(shape=tuple(args.grid3d))
     st = init_smoke(cfg)
     fn = make_smoke_step(cfg)
+    # on-device view: step + MIP/slice render in one program, only uint8
+    # pixels leave the device (render.smoke; mode from --smoke-view)
+    mode = args.smoke_view
+    view = jax.jit(lambda rho: render_smoke(rho, mode=mode, axis=2,
+                                            fmt="rgb8"))
     frames = []
     for t in range(args.frames):
         st = fn(st)
         if t % args.every == 0:
-            rho = np.asarray(st.density)
-            mid = rho[:, :, rho.shape[2] // 2]
-            img = (np.clip(mid, 0, 1) * 255).astype(np.uint8)
-            rgb = np.stack([img] * 3, -1)
+            rgb = np.asarray(view(st.density.astype(np.float32)))
             frames.append(rgb)
             save_ppm(os.path.join(args.out, f"smoke_{t:05d}.ppm"), rgb)
     gif = maybe_gif(args.out, frames, fps=15)
-    print(f"wrote {len(frames)} smoke slices to {args.out}"
+    print(f"wrote {len(frames)} smoke {mode} views to {args.out}"
           + (f" (+ {gif})" if gif else ""))
 
 
@@ -111,6 +115,9 @@ def main():
     ap.add_argument("--speed", type=float, default=300.0)
     ap.add_argument("--out", default="/tmp/fluid_demo")
     ap.add_argument("--smoke3d", action="store_true")
+    ap.add_argument("--smoke-view", choices=["mip", "slice"], default="mip",
+                    help="3D view reduction (render.smoke): max-intensity "
+                         "projection or mid-slice")
     ap.add_argument("--pipeline", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)

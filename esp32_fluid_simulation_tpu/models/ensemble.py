@@ -74,9 +74,35 @@ def _apply_member_impulses(vel, imp: Impulses, gh: int, gw: int,
     ONE scatter for all (member, slot) points (members write to disjoint
     tiles, so cross-member order is irrelevant): a per-slot ``.at[].set``
     loop costs 2k full-grid passes (~12 ms/step on a 4096^2 supergrid,
-    measured), this costs one scatter."""
+    measured), this costs one scatter.
+
+    Form A/B (round 5, tools/impulse_apply_ab.py, interleaved in one
+    session): a mask+dense where-overlay — motivated by the two full-grid
+    T(8,128)<->T(2,128) relayout copies XLA wraps around an ISOLATED
+    pallas->scatter->... composition (tools/tiled_gap_probe.py) — measured
+    1.2 ms SLOWER inside the full tiled step (19.4 vs 18.2 ms at 4096^2);
+    in the whole program XLA's layout assignment absorbs the scatter
+    without both copies, and the overlay's extra build+where passes lose.
+    The direct scatter stays for the non-kernel paths; the kernel path
+    drains impulses at the advect store instead
+    (``_member_impulse_overlay``)."""
     rows, cols, vals = _member_impulse_targets(imp, gh, gw, mh, mw)
     return vel.at[:, rows, cols].set(vals.astype(vel.dtype), mode="drop")
+
+
+def _member_impulse_overlay(imp: Impulses, gh: int, gw: int,
+                            mh: int, mw: int) -> jax.Array:
+    """Member impulses as the advect kernel's ``[3, H, W]`` store-time
+    overlay (``models.stable_fluids.impulse_overlay`` semantics, supergrid
+    targets): one tiny scatter into fresh zeros replaces the
+    scatter-on-velocity between the Pallas advect and projection calls."""
+    rows, cols, vals = _member_impulse_targets(imp, gh, gw, mh, mw)
+    H, W = gh * mh, gw * mw
+    k = vals.shape[1]
+    combo = jnp.concatenate(
+        [vals.astype(jnp.float32), jnp.ones((1, k), jnp.float32)], axis=0)
+    full = jnp.zeros((3, H + 1, W), jnp.float32)
+    return full.at[:, rows, cols].set(combo, mode="drop")[:, :H]
 
 
 def _resolve_tiled(cfg: SimConfig, mode: str) -> bool:
@@ -160,7 +186,9 @@ def make_ensemble_step(cfg: SimConfig, donate: bool = True,
         apply_fn = functools.partial(_apply_member_impulses, imp=imps,
                                      gh=gh, gw=gw, mh=mh, mw=mw)
         out = _step_tiled(_to_super(state, cfg_super), None, cfg_super,
-                          apply_fn=lambda v: apply_fn(v))
+                          apply_fn=lambda v: apply_fn(v),
+                          overlay=_member_impulse_overlay(imps, gh, gw,
+                                                          mh, mw))
         return _from_super(out, cfg, n)
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
@@ -202,7 +230,9 @@ def make_ensemble_multi_step(cfg: SimConfig, donate: bool = True,
             apply_fn = functools.partial(_apply_member_impulses, imp=imp,
                                          gh=gh, gw=gw, mh=mh, mw=mw)
             return _step_tiled(st, None, cfg_super,
-                               apply_fn=lambda v: apply_fn(v)), None
+                               apply_fn=lambda v: apply_fn(v),
+                               overlay=_member_impulse_overlay(
+                                   imp, gh, gw, mh, mw)), None
 
         out, _ = jax.lax.scan(body, _to_super(state, cfg_super), schedule)
         return _from_super(out, cfg, n)

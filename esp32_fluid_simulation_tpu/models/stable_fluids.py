@@ -90,8 +90,19 @@ def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
     same wall first, see ``models.ensemble._apply_member_impulses``).
     Indices are clamped to the grid, like the reference's calibration map.
     """
-    nd = vel.shape[0]
     shape = vel.shape[1:]
+    rows, tail, vals = _resolved_impulse_targets(imp, shape)
+    return vel.at[(slice(None), rows) + tail].set(
+        vals.astype(vel.dtype), mode="drop")
+
+
+def _resolved_impulse_targets(imp: Impulses, shape):
+    """Queue-drain overwrite resolution in slot space (``.ino:264-269``):
+    the LAST active slot wins at a duplicated cell (k^2 tiny vector ops,
+    k=16); superseded/inactive slots are routed out of bounds on axis 0 and
+    dropped by ``mode="drop"`` scatters.  Returns ``(rows, tail_idx,
+    vals[nd, k])`` with indices clamped to the grid."""
+    nd = len(shape)
     k = imp.pos.shape[0]
     idx = tuple(jnp.clip(imp.pos[:, a], 0, shape[a] - 1) for a in range(nd))
     act = imp.active
@@ -102,8 +113,27 @@ def apply_impulses(vel: jax.Array, imp: Impulses) -> jax.Array:
     superseded = jnp.any(same & later & act[None, :], axis=1)
     write = act & ~superseded
     rows = jnp.where(write, idx[0], shape[0])             # OOB -> dropped
-    vals = imp.velocity.T.astype(vel.dtype)               # [nd, k]
-    return vel.at[(slice(None), rows) + idx[1:]].set(vals, mode="drop")
+    return rows, idx[1:], imp.velocity.T                  # vals [nd, k]
+
+
+def impulse_overlay(imp: Impulses, shape) -> jax.Array:
+    """Impulses as a dense ``[nd+1, *shape]`` f32 overlay: channels
+    ``[0, nd)`` hold the write values, channel ``nd`` a >0 write flag.
+    Consumed by the advect kernel's store-time drain
+    (``ops.pallas.advect`` ``overlay=``), which replaces the standalone
+    scatter-on-velocity between two Pallas calls — XLA wraps that scatter
+    in two full-grid T(8,128)<->T(2,128) relayout copies (~2.6 ms at
+    4096^2; round-5 HLO analysis, tools/impulse_apply_ab.py).  Same
+    overwrite-order semantics and bit-identical written values as
+    ``apply_impulses``."""
+    nd = len(shape)
+    rows, tail, vals = _resolved_impulse_targets(imp, shape)
+    k = vals.shape[1]
+    combo = jnp.concatenate(
+        [vals.astype(jnp.float32), jnp.ones((1, k), jnp.float32)], axis=0)
+    full = jnp.zeros((nd + 1, shape[0] + 1) + tuple(shape[1:]), jnp.float32)
+    return full.at[(slice(None), rows) + tail].set(
+        combo, mode="drop")[:, :shape[0]]
 
 
 def _use_pallas_advect(cfg: SimConfig) -> bool:
@@ -177,34 +207,59 @@ def _from_members(x: jax.Array, H: int, W: int) -> jax.Array:
 
 
 def _step_tiled(state: SimState, impulses: Impulses,
-                cfg: SimConfig, apply_fn=None) -> SimState:
+                cfg: SimConfig, apply_fn=None, overlay=None,
+                rgb565: bool = False, bswap: bool = True):
     """Tiled-domain step (BASELINE config 4 at kernel speed): one supergrid
     of independent member domains.  The kernels evaluate every boundary
     condition per (mh, mw) member tile; the jnp fallback vmaps the member
     ops over a reshaped batch (also the parity oracle).
 
     ``apply_fn(vel) -> vel`` overrides the impulse application (the
-    auto-tiled ensemble path injects per-member batched impulses there)."""
+    auto-tiled ensemble path injects per-member batched impulses there).
+    ``overlay`` — an ``impulse_overlay``-shaped ``[3, H, W]`` array — is
+    the kernel path's preferred form: the drain rides the self-advect
+    store instead of a standalone scatter (which XLA wraps in two
+    full-grid relayout copies between the Pallas calls).
+    ``rgb565`` (kernel path only) additionally returns the packed frame
+    riding the dye-advect store — the tiled rendition of ``step_render``'s
+    fused path; returns ``(state, frame)``."""
     mh, mw = cfg.domain_tile
     H, W = cfg.shape
     if apply_fn is None:
         apply_fn = lambda v: apply_impulses(v, impulses)  # noqa: E731
     use_kernel = (cfg.solver == "fused_pallas" and _use_pallas_advect(cfg))
+    if rgb565 and not use_kernel:
+        raise ValueError("rgb565 needs the tiled kernel path "
+                         "(solver='fused_pallas' + pallas advect)")
     if use_kernel:
         from ..ops.pallas.advect import advect_pallas
         from ..ops.pallas.project import project_fused_pallas
         bf16 = cfg.advect_sample_dtype == "bfloat16"
 
-        def adv(field, vel, no_slip, clip01=False, self_advect=False):
+        def adv(field, vel, no_slip, clip01=False, self_advect=False,
+                **kw):
             return advect_pallas(field, vel, cfg.dt, no_slip,
                                  max_disp=cfg.advect_max_disp,
                                  member=(mh, mw), sample_bf16=bf16,
-                                 clip01=clip01, self_advect=self_advect)
+                                 clip01=clip01, self_advect=self_advect,
+                                 **kw)
 
-        vel = adv(state.velocity, state.velocity, True, self_advect=True)
-        vel = apply_fn(vel)
+        if overlay is None and impulses is not None:
+            overlay = impulse_overlay(impulses, (H, W))
+        if overlay is not None:
+            vel = adv(state.velocity, state.velocity, True,
+                      self_advect=True, overlay=overlay)
+        else:
+            vel = adv(state.velocity, state.velocity, True,
+                      self_advect=True)
+            vel = apply_fn(vel)
         vel, _ = project_fused_pallas(vel, cfg.dx, cfg.sor_iters, cfg.omega,
                                       member=(mh, mw))
+        if rgb565:
+            color, frame = adv(state.color, vel, False, clip01=True,
+                               rgb565=True, bswap=bswap)
+            return (SimState(velocity=vel, color=color,
+                             step=state.step + 1), frame)
         color = adv(state.color, vel, False, clip01=True)
         return SimState(velocity=vel, color=color, step=state.step + 1)
 
@@ -248,7 +303,7 @@ def step(state: SimState, impulses: Impulses, cfg: SimConfig) -> SimState:
         color = _advect_color(adv, state.color, vel, cfg)
         return SimState(velocity=vel, color=color, step=state.step + 1)
     vel = apply_impulses(vel, impulses)
-    if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
+    if cfg.vorticity_eps > 0.0:  # rank-polymorphic (2D curl or 3D, ops.fd)
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
 
     vel = _project(vel, cfg)
@@ -296,9 +351,14 @@ def step_render(state: SimState, impulses: Impulses, cfg: SimConfig,
     from ..render import render_rgb565
 
     fused = (cfg.ndim == 2 and cfg.scaling == 1 and cfg.clamps_dye
-             and cfg.advector == "semilag" and cfg.domain_tile is None
+             and cfg.advector == "semilag"
              and cfg.vorticity_eps == 0.0 and cfg.solver == "fused_pallas"
              and _use_pallas_advect(cfg))
+    if fused and cfg.domain_tile is not None:
+        # tiled supergrid: the pack rides the member-mode dye-advect store
+        # (VERDICT r4 next #3); frame crop/bit semantics identical to
+        # render_rgb565(color, s=1) on the whole supergrid image.
+        return _step_tiled(state, impulses, cfg, rgb565=True, bswap=bswap)
     if not fused:
         st = step(state, impulses, cfg)
         return st, render_rgb565(st.color, s=cfg.scaling,
@@ -331,7 +391,7 @@ def step_with_metrics(state: SimState, impulses: Impulses, cfg: SimConfig):
 
     vel = _self_advect(adv, state.velocity, cfg.dt)
     vel = apply_impulses(vel, impulses)
-    if cfg.vorticity_eps > 0.0 and cfg.ndim == 2:
+    if cfg.vorticity_eps > 0.0:  # rank-polymorphic (2D curl or 3D, ops.fd)
         vel = vorticity_confinement(vel, cfg.vorticity_eps, cfg.dt, cfg.dx)
 
     div = divergence(vel, cfg.dx)

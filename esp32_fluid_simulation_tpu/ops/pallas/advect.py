@@ -114,10 +114,20 @@ def _backtrace(vel_ref, row0, col0, *, dt, max_disp, tile_h, tile_w, h, w,
         lo_j = f32(0.0)
         mh, mw = h, w
     else:
-        # member-tile origins (exact: integer-valued f32 below 2^24)
+        # member-tile origins (exact: integer-valued f32 below 2^24).  For
+        # power-of-two members the float divide+floor (slow on the VPU —
+        # ~1.3 ms of the member dye advect at 4096^2, round-5 measurement)
+        # becomes one integer mask on the int32 coordinate iotas.
         mh, mw = member
-        lo_i = jnp.floor(i_glob / mh) * mh
-        lo_j = jnp.floor(j_glob / mw) * mw
+
+        def origin(glob_f32, m):
+            if m & (m - 1) == 0:
+                return (glob_f32.astype(jnp.int32)
+                        & jnp.int32(~(m - 1))).astype(f32)
+            return jnp.floor(glob_f32 / m) * m
+
+        lo_i = origin(i_glob, mh)
+        lo_j = origin(j_glob, mw)
 
     # CFL clamp to the halo radius, then the reference's domain clamp
     # (edge-collapse sampling, advect.h:44-55) — per member in tiled mode.
@@ -349,7 +359,8 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
                                max_disp, tile_h, tile_w, pr, h, w, bh,
                                no_slip, pack, ret_minmax, member=None,
                                clip01=False, nopad=False, rg=8,
-                               rgb565=False, bswap=True, self_adv=False):
+                               rgb565=False, bswap=True, self_adv=False,
+                               has_overlay=False):
     """Panel kernel with the loop order swapped (variant "sloop"):
     shift outside, panels inside.
 
@@ -373,6 +384,9 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
     no guards at all) was tried first: Mosaic requires sublane starts
     provably divisible by 8, and the shift offset isn't.
     """
+    ov_ref = None
+    if has_overlay:
+        ov_ref, rest = rest[0], rest[1:]
     if ret_minmax:
         (out_ref, mn_ref, mx_ref, src_vmem, acc_vmem, mn_vmem, mx_vmem,
          sem) = rest
@@ -584,6 +598,13 @@ def _advect_kernel_panel_sloop(goff_ref, vel_ref, field_hbm, *rest, dt,
             a = a * ns_factor
         if clip01:
             a = jnp.clip(a, 0.0, 1.0)
+        if has_overlay:
+            # impulse drain riding the store (.ino:264-269 as a post-advect
+            # overwrite): channel n_ch of the overlay block is the write
+            # flag, channels [0, n_ch) the values.  Replaces the standalone
+            # XLA scatter between this kernel and the projection, which XLA
+            # wraps in two full-grid relayout copies (~2.6 ms at 4096^2).
+            a = jnp.where(ov_ref[n_ch] > 0.0, ov_ref[ch].astype(f32), a)
         st_c = a.astype(out_ref.dtype)
         out_ref[ch, :, :] = st_c
         if rgb565:
@@ -700,7 +721,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                   return_minmax: bool = False, member=None,
                   clip01: bool = False, nopad: bool | None = None,
                   rgb565: bool = False, bswap: bool = True,
-                  self_advect: bool = False):
+                  self_advect: bool = False,
+                  overlay: jax.Array | None = None):
     """Drop-in replacement for ``ops.advect.advect`` on large 2D grids.
 
     field: ``[H, W]`` or ``[C, H, W]``; vel: ``[2, H, W]``.  Displacements
@@ -751,6 +773,16 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                         or field.ndim != 3 or field.shape[0] != 2):
         raise ValueError("self_advect needs the sloop variant on a "
                          "2-channel field (field IS vel), single device")
+    if overlay is not None:
+        if (variant != "sloop" or return_minmax or rgb565
+                or global_offset is not None):
+            raise ValueError("overlay needs the plain sloop variant "
+                             "(no return_minmax/rgb565/block mode)")
+        c_f = 1 if field.ndim == 2 else field.shape[0]
+        if overlay.shape != (c_f + 1,) + field.shape[-2:]:
+            raise ValueError(
+                f"overlay must be [{c_f + 1}, H, W] (values + write flag), "
+                f"got {overlay.shape}")
     if block_mode and halo < max_disp + 1:
         raise ValueError(f"block mode needs halo >= max_disp+1 ghost cells "
                          f"({halo} < {max_disp + 1})")
@@ -825,7 +857,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
 
         kern_fn = (_advect_kernel_panel if variant == "panel"
                    else _advect_kernel_panel_sloop)
-        kwextra = (dict(rgb565=rgb565, bswap=bswap, self_adv=self_advect)
+        kwextra = (dict(rgb565=rgb565, bswap=bswap, self_adv=self_advect,
+                        has_overlay=overlay is not None)
                    if variant == "sloop" else {})
         kernel = functools.partial(
             kern_fn, dt=dt, max_disp=max_disp, tile_h=th,
@@ -853,6 +886,15 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
         vel_spec = [] if self_advect else [
             pl.BlockSpec((2, th, tw), lambda r, cl: (0, r, cl),
                          memory_space=pltpu.VMEM)]
+        ov_args = []
+        ov_spec = []
+        if overlay is not None:
+            ovp = overlay.astype(jnp.float32)
+            if (hp, wp) != (bh, bw):
+                ovp = jnp.pad(ovp, ((0, 0), (0, hp - bh), (0, wp - bw)))
+            ov_args = [ovp]
+            ov_spec = [pl.BlockSpec((c + 1, th, tw), lambda r, cl: (0, r, cl),
+                                    memory_space=pltpu.VMEM)]
         out = pl.pallas_call(
             kernel,
             grid=(hp // th, wp // tw),
@@ -861,7 +903,7 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                              memory_space=pltpu.SMEM),
             ] + vel_spec + [
                 pl.BlockSpec(memory_space=pl.ANY),  # padded field, own DMA
-            ],
+            ] + ov_spec,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=(
@@ -875,7 +917,8 @@ def advect_pallas(field: jax.Array, vel: jax.Array, dt: float, no_slip: bool,
                    else pltpu.SemaphoreType.DMA((2,)) if variant == "sloop"
                    else pltpu.SemaphoreType.DMA]
             ),
-        )(*((goff, fsrc) if self_advect else (goff, vpad, fsrc)))
+        )(*(((goff, fsrc) if self_advect else (goff, vpad, fsrc))
+            + tuple(ov_args)))
         if return_minmax:
             out, mn, mx = out
             crop = (slice(None), slice(0, bh), slice(0, bw))

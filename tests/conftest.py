@@ -101,6 +101,16 @@ _SLOW = {
     ("test_pallas.py", "test_advect_pallas_panel_boundary_select"),
     ("test_pallas.py", "test_advect3d_pallas_panel_boundary_select"),
     ("test_pallas.py", "test_fd3d_kernels_match_jnp"),
+    ("test_pallas.py", "test_advect_overlay_drain_bit_equal"),
+    ("test_pallas.py", "test_step_tiled_overlay_matches_scatter"),
+    ("test_pallas.py", "test_step_render_tiled_matches_composed"),
+    ("test_render.py", "test_render_smoke_mip_pallas_bit_equal"),
+}
+
+# whole files where every parity test is a multi-second CPU-mesh compile;
+# keep only the cheap guard tests in the fast lane
+_SLOW_FILES = {
+    "test_sharded3d.py": {"test_sharded3d_rejects_unsupported"},
 }
 
 
@@ -108,5 +118,7 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         base = item.name.split("[")[0]
         fname = item.path.name if hasattr(item, "path") else ""
-        if (fname, base) in _SLOW:
+        fast_exempt = _SLOW_FILES.get(fname)
+        if (fname, base) in _SLOW or (fast_exempt is not None
+                                      and base not in fast_exempt):
             item.add_marker(pytest.mark.slow)

@@ -96,3 +96,50 @@ def test_uq32_roundtrip(rng):
     back = uq32_to_float(raw)
     np.testing.assert_allclose(back, x, atol=2e-7)
     assert uq32_top_bits(np.uint32(0xF8000000), 5) == 0x1F
+
+
+def test_render_smoke_modes(rng):
+    """3D smoke views (VERDICT r4 next #8): MIP and slice reductions with
+    the heat colormap, both wire formats."""
+    from esp32_fluid_simulation_tpu.render import render_smoke
+    rho = jnp.asarray(rng.random((8, 16, 32), dtype=F))
+    mip = render_smoke(rho, mode="mip", fmt="rgb565")
+    assert mip.shape == (16, 32) and mip.dtype == jnp.uint16
+    # MIP along axis 0 == colormap+pack of the numpy max
+    from esp32_fluid_simulation_tpu.render.smoke import heat_colormap
+    from esp32_fluid_simulation_tpu.render import pack_rgb565
+    want = np.asarray(pack_rgb565(heat_colormap(jnp.max(rho, axis=0))))
+    np.testing.assert_array_equal(np.asarray(mip), want)
+    sl = render_smoke(rho, mode="slice", axis=2, index=5, fmt="rgb8")
+    assert sl.shape == (8, 16, 3) and sl.dtype == jnp.uint8
+    want8 = np.asarray(jnp.moveaxis(jnp.clip(jnp.floor(
+        heat_colormap(rho[:, :, 5]) * 256.0), 0, 255).astype(jnp.uint8),
+        0, -1))
+    np.testing.assert_array_equal(np.asarray(sl), want8)
+    # default slice index = midplane
+    mid = render_smoke(rho, mode="slice", axis=0, fmt="rgb565")
+    want_mid = np.asarray(pack_rgb565(heat_colormap(rho[4])))
+    np.testing.assert_array_equal(np.asarray(mid), want_mid)
+
+
+def test_render_smoke_mip_pallas_bit_equal(rng, monkeypatch):
+    """The fused Pallas MIP kernel == the jnp MIP expressions bit-for-bit
+    (max is order-independent; colormap/pack arithmetic identical), f32 and
+    bf16 density, with and without bswap, including non-tile-aligned
+    shapes."""
+    import functools
+    from jax.experimental import pallas as pl
+    from esp32_fluid_simulation_tpu.render import smoke as sm
+    from esp32_fluid_simulation_tpu.render.pallas_smoke import (
+        render_smoke_mip_pallas)
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        rho = jnp.asarray(1.2 * rng.random((6, 49, 130)).astype(F)
+                          ).astype(dtype)
+        for bswap in (True, False):
+            want = np.asarray(sm.render_smoke(rho, mode="mip",
+                                              fmt="rgb565", bswap=bswap))
+            got = np.asarray(render_smoke_mip_pallas(rho, bswap=bswap,
+                                                     tile_h=16, tile_w=128))
+            np.testing.assert_array_equal(got, want)

@@ -146,9 +146,12 @@ def test_sharded_vorticity_matches_single_device():
 
 
 def test_sharded_rejects_unsupported_configs():
+    # 3D configs now dispatch to parallel.sharded3d (round 5); what remains
+    # unsupported there is the fused projection kernel (2D-only).
     mesh = _mesh_2x4()
     with pytest.raises(NotImplementedError):
-        make_sharded_step(SimConfig(shape=(16, 16, 16)), mesh)
+        make_sharded_step(SimConfig(shape=(16, 16, 16),
+                                    solver="fused_pallas"), mesh)
 
 
 def test_sharded_rk2_matches_single_device():
