@@ -423,6 +423,28 @@ def main():
             SimConfig(shape=(8192, 8192), scaling=1, solver="fused_pallas",
                       advect_impl="pallas", color_dtype="bfloat16"),
             n=max(3, n_big // 2), render=True, render_s=1)
+        # bf16 velocity at 8192^2 (VERDICT r4 next #4): halves the
+        # velocity HBM footprint/traffic where the step is most
+        # bandwidth-bound; accuracy A/B in tools/bf16vel_probe.py.
+        results["fps_8192_bf16vel"] = bench_step_fps(
+            SimConfig(shape=(8192, 8192), scaling=1, solver="fused_pallas",
+                      advect_impl="pallas", color_dtype="bfloat16",
+                      dtype="bfloat16"),
+            n=max(3, n_big // 2), render=True, render_s=1)
+
+    # Residual-targeted solve (VERDICT r4 next #9): fixed-10 vs adaptive
+    # (tol 1e-3, residual check every 2 sweeps) on the jnp solver path at
+    # 1024^2 — the quality-per-ms A/B; the adaptive row's quiet-fluid
+    # workload exits well under the 20-sweep cap (tools/adaptive_probe.py
+    # reports the sweep counts and residuals side by side).
+    if not smoke:
+        results["fps_1024_sor_fixed10"] = bench_step_fps(
+            SimConfig(shape=(1024, 1024), scaling=1, solver="sor",
+                      sor_iters=10, advect_impl="pallas"), n=10)
+        results["fps_1024_sor_adaptive"] = bench_step_fps(
+            SimConfig(shape=(1024, 1024), scaling=1, solver="sor_adaptive",
+                      sor_iters=20, sor_tol=1e-3, advect_impl="pallas"),
+            n=10)
 
     # Config 2 flavor: 512^2 with vorticity confinement.  Both advect
     # impls are measured (VERDICT r2 weak #2: the r2 auto threshold put

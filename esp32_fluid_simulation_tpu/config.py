@@ -50,7 +50,13 @@ class SimConfig:
     dx: float = 1.0
     sor_iters: int = REF_SOR_ITERS
     omega: float = REF_SOR_OMEGA
-    solver: str = "sor"          # sor | jacobi | sor_pallas | multigrid
+    solver: str = "sor"          # sor | sor_adaptive | jacobi | sor_pallas
+    #                            # | multigrid | fused_pallas
+    # sor_adaptive (residual-targeted solve): early-exit once the residual
+    # L2 drops below sor_tol, checking every sor_check_every sweeps;
+    # sor_iters becomes the budget CAP instead of the fixed count.
+    sor_tol: float = 1e-3
+    sor_check_every: int = 2
     advector: str = "semilag"    # semilag | rk2 | maccormack
     advect_impl: str = "auto"    # auto | jnp | pallas (pallas: 2D TPU only)
     advect_max_disp: int = 12    # CFL clamp (cells/step) for the pallas path
@@ -72,8 +78,8 @@ class SimConfig:
     def __post_init__(self):
         if len(self.shape) not in (2, 3):
             raise ValueError(f"shape must be 2D or 3D, got {self.shape}")
-        if self.solver not in ("sor", "jacobi", "sor_pallas", "multigrid",
-                               "fused_pallas"):
+        if self.solver not in ("sor", "sor_adaptive", "jacobi", "sor_pallas",
+                               "multigrid", "fused_pallas"):
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.advector not in ("semilag", "rk2", "maccormack"):
             raise ValueError(f"unknown advector {self.advector!r}")

@@ -142,6 +142,50 @@ def jacobi_solve(d: jax.Array, dx: float = 1.0, iters: int = 20,
     return p
 
 
+def sor_solve_adaptive(d: jax.Array, dx: float = 1.0, max_iters: int = 50,
+                       omega: float = 1.96, tol: float = 1e-3,
+                       check_every: int = 2,
+                       p0: jax.Array | None = None):
+    """Residual-targeted RB-SOR: sweep in chunks of ``check_every`` and
+    early-exit once the on-device residual L2 norm drops below ``tol``
+    (VERDICT r4 next #9).
+
+    The fixed-``iters`` solve (the reference hardcodes 10, ``.ino:275``)
+    spends the same budget on a quiet fluid as on a violently forced one;
+    this spends sweeps where the divergence actually is.  The loop is a
+    ``lax.while_loop`` — one compiled program, no host round trips; the
+    residual check costs one extra stencil pass per chunk (amortize with
+    ``check_every``).  Returns ``(p, iters_done, residual_l2)`` so callers
+    can log the adaptive behavior (``iters_done``/``residual_l2`` are
+    traced scalars).
+    """
+    p = jnp.zeros_like(d) if p0 is None else p0
+    neg_inv = _neg_inv_diag(d.shape, d.dtype)
+    parity = _parity(d.shape)
+    tol2 = jnp.asarray(tol, jnp.float32) ** 2
+
+    def res2(p):
+        r = poisson_residual(p, d, dx).astype(jnp.float32)
+        return jnp.mean(r * r)
+
+    def cond(carry):
+        _, it, r2 = carry
+        return (it < max_iters) & (r2 > tol2)
+
+    def body(carry):
+        p, it, _ = carry
+        n = jnp.minimum(check_every, max_iters - it)
+        # check_every is a static python int; run the chunk unrolled and
+        # mask the tail sweeps (cheaper than a nested dynamic loop)
+        for m in range(check_every):
+            p_new = sor_sweep(p, d, omega, dx, neg_inv, parity)
+            p = jnp.where(m < n, p_new, p)
+        return p, it + n, res2(p)
+
+    p, it, r2 = jax.lax.while_loop(cond, body, (p, jnp.int32(0), res2(p)))
+    return p, it, jnp.sqrt(r2)
+
+
 def poisson_residual(p: jax.Array, d: jax.Array, dx: float = 1.0) -> jax.Array:
     """Pointwise residual of the discrete system: nbr_sum - a_ii*p - dx*d
     (zero when p solves the reference's update equations exactly)."""
@@ -153,6 +197,11 @@ def poisson_solve(d: jax.Array, cfg) -> jax.Array:
     """Solver dispatch by ``cfg.solver``."""
     if cfg.solver == "sor":
         return sor_solve(d, cfg.dx, cfg.sor_iters, cfg.omega)
+    if cfg.solver == "sor_adaptive":
+        p, _, _ = sor_solve_adaptive(d, cfg.dx, cfg.sor_iters, cfg.omega,
+                                     tol=cfg.sor_tol,
+                                     check_every=cfg.sor_check_every)
+        return p
     if cfg.solver == "jacobi":
         # Jacobi diverges for omega > 1 (no Gauss-Seidel coupling to damp the
         # over-relaxation), so the SOR omega is capped at 1 here.

@@ -103,3 +103,48 @@ render_rgb8 = jax.jit(
     static_argnames=("s",),
 )
 render_rgb8.__doc__ = """RGB888 render for host-side demo output (PNG/PPM)."""
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def decimate_mean(color: jax.Array, d: int) -> jax.Array:
+    """d:1 mean-pool of ``[C, H, W]`` for the stream view (the LCD is
+    smaller than the sim; the reference upscales, production grids
+    downsample).
+
+    Implementation note (round 5): a plain ``[:, ::d, ::d]`` strided slice
+    is catastrophic on TPU — measured 166 ms on a bf16 [3, 4096, 4096]
+    (it silently capped the interactive shell at ~12 FPS); XLA's
+    reduce_window is 24 ms (f32) / 3.7 s (bf16-add).  Two slice-add passes
+    (rows, then lanes on the already-halved array) run at 6.5 ms and
+    anti-alias for free."""
+    if d == 1:
+        return color
+    r = color[:, 0::d]
+    for i in range(1, d):
+        r = r + color[:, i::d]
+    out = r[:, :, 0::d]
+    for i in range(1, d):
+        out = out + r[:, :, i::d]
+    return (out * jnp.asarray(1.0 / (d * d), jnp.float32).astype(out.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def render_rgbx(color: jax.Array, s: int = 4) -> jax.Array:
+    """Packed RGBX8888 render: one uint32/px, little-endian R|G<<8|B<<16.
+
+    Full-color alternative wire format for the MJPEG stream: a
+    ``[H, W, 3]`` uint8 device output pads its size-3 minor axis to 128
+    TPU lanes (~42x layout blowup — measured as a 42 -> 12 FPS sim
+    collapse at 4096^2, round 5), while one uint32 plane keeps the natural
+    (8, 128) tiling; the native encoder consumes the 4-byte pixels
+    directly (libjpeg-turbo JCS_EXT_RGBX).  The server's default wire
+    format is RGB565 (half the device->host bytes, the reference's own
+    display format, .ino:164-176); use this one when the stream must be
+    8-bit lossless per channel.  Channel quantization matches
+    ``render_rgb8`` exactly (same bytes)."""
+    up = upscale_bilinear(color, s)
+
+    def q(c):
+        return jnp.clip(jnp.floor(c * 256.0), 0, 255).astype(jnp.uint32)
+
+    return q(up[0]) | (q(up[1]) << 8) | (q(up[2]) << 16)

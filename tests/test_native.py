@@ -156,3 +156,67 @@ def test_pipeline_sink_exception_does_not_hang():
     with pytest.raises(RuntimeError, match="disk full"):
         pipe.run(n_frames=10)
     assert time.time() - t0 < 60  # must terminate, not deadlock
+
+
+def test_jpeg_encode_rgb8():
+    """Native libjpeg-turbo encode (VERDICT r4 next #6): valid JPEG that
+    decodes back to approximately the input."""
+    from esp32_fluid_simulation_tpu.io_host.native import (jpeg_available,
+                                                           jpeg_encode_rgb8)
+    if not jpeg_available():
+        pytest.skip("libfluidhost built without libjpeg")
+    rng = np.random.default_rng(1)
+    # smooth image so quality-85 decode error is small
+    base = rng.random((6, 8, 3))
+    rgb = (np.kron(base, np.ones((20, 20, 1))) * 255).astype(np.uint8)
+    data = jpeg_encode_rgb8(rgb, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    from PIL import Image
+    import io
+    back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).mean() < 8
+
+
+def test_jpeg_encode_rgbx_matches_rgb8():
+    """The packed-RGBX path (JCS_EXT_RGBX) produces byte-identical JPEGs
+    to the HWC path for the same pixels."""
+    from esp32_fluid_simulation_tpu.io_host.native import (
+        jpeg_available, jpeg_rgbx_available, jpeg_encode_rgb8,
+        jpeg_encode_rgbx)
+    if not (jpeg_available() and jpeg_rgbx_available()):
+        pytest.skip("libfluidhost built without libjpeg JCS_EXT_RGBX")
+    rng = np.random.default_rng(2)
+    rgb = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    rgbx = (rgb[..., 0].astype(np.uint32)
+            | (rgb[..., 1].astype(np.uint32) << 8)
+            | (rgb[..., 2].astype(np.uint32) << 16))
+    assert jpeg_encode_rgbx(rgbx, 90) == jpeg_encode_rgb8(rgb, 90)
+
+
+def test_render_rgbx_matches_rgb8():
+    """render_rgbx packs exactly render_rgb8's bytes into uint32 planes."""
+    import jax.numpy as jnp
+    from esp32_fluid_simulation_tpu.render import render_rgb8
+    from esp32_fluid_simulation_tpu.render.upscale import render_rgbx
+    rng = np.random.default_rng(3)
+    color = jnp.asarray(rng.random((3, 13, 17)).astype(np.float32))
+    rgb8 = np.asarray(render_rgb8(color, s=4))          # [3, H, W]
+    rgbx = np.asarray(render_rgbx(color, s=4))          # [H, W] uint32
+    np.testing.assert_array_equal(rgbx & 0xFF, rgb8[0])
+    np.testing.assert_array_equal((rgbx >> 8) & 0xFF, rgb8[1])
+    np.testing.assert_array_equal((rgbx >> 16) & 0xFF, rgb8[2])
+
+
+def test_decimate_mean():
+    """decimate_mean == d x d block average (the stream view downsample)."""
+    import jax.numpy as jnp
+    from esp32_fluid_simulation_tpu.render.upscale import decimate_mean
+    rng = np.random.default_rng(4)
+    x = rng.random((3, 12, 20)).astype(np.float32)
+    got = np.asarray(decimate_mean(jnp.asarray(x), 4))
+    want = x.reshape(3, 3, 4, 5, 4).mean(axis=(2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # d=1 is the identity
+    np.testing.assert_array_equal(np.asarray(decimate_mean(jnp.asarray(x), 1)),
+                                  x)

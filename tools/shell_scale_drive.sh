@@ -3,18 +3,20 @@
 # start the server at $1^2 with the production kernel config, wait for
 # readiness, run the scripted drag driver, then sample steady-state
 # /stats for the sim/encode pipeline rates.
-#   tools/shell_scale_drive.sh 2048 2 [port]
+#   tools/shell_scale_drive.sh 2048 2 [port] [pacer_fps] [encode_duty]
 set -u
 SIZE=${1:-2048}
 DECIM=${2:-2}
 PORT=${3:-8141}
+FPS=${4:-60}
+DUTY=${5:-0.5}
 OUT=/tmp/shell_${SIZE}
 mkdir -p "$OUT"
 
 python -m esp32_fluid_simulation_tpu.io_host.server \
-    --port "$PORT" --grid "$SIZE" "$SIZE" --scaling 1 --fps 60 \
+    --port "$PORT" --grid "$SIZE" "$SIZE" --scaling 1 --fps "$FPS" \
     --solver fused_pallas --advect-impl pallas --color-dtype bfloat16 \
-    --stream-decim "$DECIM" > "$OUT/server.log" 2>&1 &
+    --stream-decim "$DECIM" --encode-duty "$DUTY" > "$OUT/server.log" 2>&1 &
 echo $! > "$OUT/server.pid"
 
 # wait until the sim is actually stepping (the remote jit compile of the
