@@ -129,6 +129,12 @@ class SimServer:
         self._raw_slot = None
         self._raw_no = 0
         self._raw_lock = threading.Condition()
+        # Serializes ALL device->host fetches (the encoder's frame fetch
+        # and the sim thread's K-step rate fetch): two threads inside the
+        # tunneled backend's _value at once can deadlock it — reproduced
+        # 3/3 at 4096^2 cold start (both stacks parked in
+        # jax array.py _value forever); dispatch+fetch overlap is fine.
+        self._fetch_lock = threading.Lock()
         self._stop = threading.Event()
         self.steps_done = 0
         self.frames_encoded = 0
@@ -218,7 +224,9 @@ class SimServer:
                 # the fetch (np.asarray) happens HERE — the sim thread only
                 # dispatched the device program; frames cross as RGB565
                 t_w0 = time.time()
-                jpeg = self._encode(np.asarray(img))
+                with self._fetch_lock:
+                    frame = np.asarray(img)
+                jpeg = self._encode(frame)
                 t_work = time.time() - t_w0
                 now = time.time()
                 if t_last is not None:
@@ -271,7 +279,8 @@ class SimServer:
             # — K=8 measured ~12 ms/frame of RTT tax at 2048^2, K=32 ~3)
             K = 32
             if self.steps_done % K == K - 1:
-                int(state.step)
+                with self._fetch_lock:
+                    int(state.step)
                 now = time.time()
                 if t_last is not None:
                     inst = K / max(now - t_last, 1e-6)
