@@ -85,6 +85,12 @@ class SimConfig:
             raise ValueError(f"unknown advector {self.advector!r}")
         if self.dtype not in _DTYPES or self.color_dtype not in _DTYPES:
             raise ValueError(f"unknown dtype {self.dtype!r}/{self.color_dtype!r}")
+        if self.solver == "sor_adaptive" and (
+                self.sor_check_every < 1 or self.sor_tol <= 0.0):
+            raise ValueError(
+                "sor_adaptive needs sor_check_every >= 1 and sor_tol > 0 "
+                f"(got {self.sor_check_every}, {self.sor_tol}); "
+                "check_every=0 would spin the on-device while_loop forever")
         if self.advect_impl not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown advect_impl {self.advect_impl!r}")
         if self.advect_sample_dtype not in ("float32", "bfloat16"):

@@ -225,6 +225,7 @@ def _step_tiled(state: SimState, impulses: Impulses,
     fused path; returns ``(state, frame)``."""
     mh, mw = cfg.domain_tile
     H, W = cfg.shape
+    custom_apply = apply_fn is not None
     if apply_fn is None:
         apply_fn = lambda v: apply_impulses(v, impulses)  # noqa: E731
     use_kernel = (cfg.solver == "fused_pallas" and _use_pallas_advect(cfg))
@@ -244,7 +245,11 @@ def _step_tiled(state: SimState, impulses: Impulses,
                                  clip01=clip01, self_advect=self_advect,
                                  **kw)
 
-        if overlay is None and impulses is not None:
+        # a caller-supplied apply_fn OVERRIDES impulse application (the
+        # documented contract; the non-kernel path below honors it too) —
+        # only auto-build the store-time overlay from impulses when the
+        # default applier would have been used
+        if overlay is None and impulses is not None and not custom_apply:
             overlay = impulse_overlay(impulses, (H, W))
         if overlay is not None:
             vel = adv(state.velocity, state.velocity, True,

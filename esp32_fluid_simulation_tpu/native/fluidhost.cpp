@@ -227,13 +227,22 @@ int64_t fh_jpeg_encode_rgb8(const uint8_t *rgb, int32_t w, int32_t h,
                             int32_t quality, uint8_t *out, int64_t out_cap) {
   struct jpeg_compress_struct cinfo;
   fh_jpeg_err err;
-  unsigned char *mem = nullptr;
-  unsigned long mem_size = 0;
+  // Destination = the CALLER's buffer.  Passing our own malloc'd buffer
+  // and freeing it on the error path double-frees: jpeg_mem_dest's grow
+  // path (empty_mem_output_buffer) free()s the previous buffer itself and
+  // only syncs *outbuffer at term_destination, so after any growth the
+  // local pointer dangles.  With the caller's buffer the library never
+  // frees what we own; it mallocs a replacement only if the JPEG outgrows
+  // out_cap, detected below via mem != out.
+  unsigned char *mem = out;
+  unsigned long mem_size = (unsigned long)out_cap;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = fh_jpeg_error_exit;
   if (setjmp(err.jump)) {
+    // Do NOT free(mem): before term_destination it still points at the
+    // caller's buffer; a library-grown replacement is unreachable from
+    // here (a leak on this malloc-failure-only path beats heap corruption).
     jpeg_destroy_compress(&cinfo);
-    free(mem);
     return 0;
   }
   jpeg_create_compress(&cinfo);
@@ -253,12 +262,15 @@ int64_t fh_jpeg_encode_rgb8(const uint8_t *rgb, int32_t w, int32_t h,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   int64_t n = (int64_t)mem_size;
-  if (n <= out_cap) {
-    memcpy(out, mem, (size_t)n);
-  } else {
-    n = -n;  // caller retries with a bigger buffer
+  if (mem != out) {
+    // outgrew out_cap: the library malloc'd a replacement we now own
+    if (n <= out_cap) {
+      memcpy(out, mem, (size_t)n);
+    } else {
+      n = -n;  // caller retries with a bigger buffer
+    }
+    free(mem);
   }
-  free(mem);
   return n;
 }
 #endif  // FH_WITH_JPEG
@@ -274,13 +286,15 @@ int64_t fh_jpeg_encode_rgbx(const uint8_t *rgbx, int32_t w, int32_t h,
 #if defined(FH_WITH_JPEG) && defined(JCS_EXTENSIONS)
   struct jpeg_compress_struct cinfo;
   fh_jpeg_err err;
-  unsigned char *mem = nullptr;
-  unsigned long mem_size = 0;
+  // Caller's buffer as the destination — see fh_jpeg_encode_rgb8 for why
+  // (the grow path frees the old buffer itself; freeing our own pointer
+  // on the error path double-frees after any growth).
+  unsigned char *mem = out;
+  unsigned long mem_size = (unsigned long)out_cap;
   cinfo.err = jpeg_std_error(&err.mgr);
   err.mgr.error_exit = fh_jpeg_error_exit;
   if (setjmp(err.jump)) {
     jpeg_destroy_compress(&cinfo);
-    free(mem);
     return 0;
   }
   jpeg_create_compress(&cinfo);
@@ -300,12 +314,14 @@ int64_t fh_jpeg_encode_rgbx(const uint8_t *rgbx, int32_t w, int32_t h,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   int64_t n = (int64_t)mem_size;
-  if (n <= out_cap) {
-    memcpy(out, mem, (size_t)n);
-  } else {
-    n = -n;
+  if (mem != out) {
+    if (n <= out_cap) {
+      memcpy(out, mem, (size_t)n);
+    } else {
+      n = -n;
+    }
+    free(mem);
   }
-  free(mem);
   return n;
 #else
   (void)rgbx; (void)w; (void)h; (void)quality; (void)out; (void)out_cap;

@@ -159,6 +159,9 @@ def sor_solve_adaptive(d: jax.Array, dx: float = 1.0, max_iters: int = 50,
     can log the adaptive behavior (``iters_done``/``residual_l2`` are
     traced scalars).
     """
+    # check_every < 1 would run zero sweeps per iteration and spin the
+    # while_loop forever on device (no host interrupt under jit)
+    check_every = max(1, int(check_every))
     p = jnp.zeros_like(d) if p0 is None else p0
     neg_inv = _neg_inv_diag(d.shape, d.dtype)
     parity = _parity(d.shape)

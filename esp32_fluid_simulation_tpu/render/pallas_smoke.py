@@ -48,8 +48,12 @@ def render_smoke_mip_pallas(density: jax.Array, bswap: bool = True,
                             tile_w: int = 512):
     """``[D, H, W]`` density -> uint16 ``[H, W]`` RGB565 MIP (axis 0)."""
     D, H, W = density.shape
-    rg = 16 if density.dtype.itemsize == 2 else 8
-    th = min(tile_h, pl.cdiv(H, rg) * rg)
+    # the RGB565 output is always uint16 (and the default smoke density is
+    # bf16): both pack (16, 128) native tiles, so the tile height must be
+    # a 16-multiple — round UP (the old default th=8 handed Mosaic a
+    # misaligned window for every 16-bit operand)
+    rg = 16
+    th = min(pl.cdiv(max(tile_h, rg), rg) * rg, pl.cdiv(H, rg) * rg)
     tw = min(tile_w, pl.cdiv(W, 128) * 128)
     hp = pl.cdiv(H, th) * th
     wp = pl.cdiv(W, tw) * tw

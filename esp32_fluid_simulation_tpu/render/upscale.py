@@ -116,9 +116,18 @@ def decimate_mean(color: jax.Array, d: int) -> jax.Array:
     (it silently capped the interactive shell at ~12 FPS); XLA's
     reduce_window is 24 ms (f32) / 3.7 s (bf16-add).  Two slice-add passes
     (rows, then lanes on the already-halved array) run at 6.5 ms and
-    anti-alias for free."""
+    anti-alias for free.
+
+    Non-divisible dims are cropped to the largest d-multiple first (the
+    reference's own 61x81 grid divides by nothing; the old strided slice
+    accepted any d and this must too)."""
     if d == 1:
         return color
+    _, h, w = color.shape
+    hc, wc = (h // d) * d, (w // d) * d
+    if hc == 0 or wc == 0:
+        raise ValueError(f"decimation {d} exceeds grid {h}x{w}")
+    color = color[:, :hc, :wc]
     r = color[:, 0::d]
     for i in range(1, d):
         r = r + color[:, i::d]

@@ -88,6 +88,21 @@ def test_sor3d_kernel_compiles(tpu_sharding):
         _sds(tpu_sharding, (33, 33, 33))).compile()
 
 
+def test_smoke_mip_kernel_compiles(tpu_sharding):
+    from esp32_fluid_simulation_tpu.render.pallas_smoke import (
+        render_smoke_mip_pallas)
+    # the PRODUCTION dispatch from render_smoke: default tiles, bf16
+    # density (SmokeConfig default) — the uint16 output packs (16, 128)
+    # native tiles, so the default tile height must round up to 16 (a
+    # th=8 window was the round-5 hazard this gate now pins), f32 too
+    for dt in (jnp.bfloat16, jnp.float32):
+        jax.jit(lambda d: render_smoke_mip_pallas(d)).lower(
+            _sds(tpu_sharding, (256, 256, 256), dt)).compile()
+    # non-tile-aligned H/W
+    jax.jit(lambda d: render_smoke_mip_pallas(d)).lower(
+        _sds(tpu_sharding, (33, 49, 130), jnp.bfloat16)).compile()
+
+
 def test_fd3d_kernels_compile(tpu_sharding):
     from esp32_fluid_simulation_tpu.ops.pallas.fd3d import (
         divergence3d_pallas, subtract_gradient3d_pallas)

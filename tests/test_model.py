@@ -95,6 +95,16 @@ def test_config_json_roundtrip():
     assert cfg == cfg2
 
 
+def test_config_rejects_degenerate_adaptive():
+    """sor_check_every=0 would spin the adaptive solve's on-device
+    while_loop forever (zero sweeps per iteration); the config refuses."""
+    import pytest
+    with pytest.raises(ValueError):
+        SimConfig(shape=(64, 64), solver="sor_adaptive", sor_check_every=0)
+    with pytest.raises(ValueError):
+        SimConfig(shape=(64, 64), solver="sor_adaptive", sor_tol=0.0)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = SimConfig(shape=(17, 19))
     state = init_state(cfg)

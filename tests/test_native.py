@@ -220,3 +220,23 @@ def test_decimate_mean():
     # d=1 is the identity
     np.testing.assert_array_equal(np.asarray(decimate_mean(jnp.asarray(x), 1)),
                                   x)
+
+
+def test_decimate_mean_non_divisible():
+    """Non-divisible dims crop to the largest d-multiple (the reference's
+    own 61x81 grid divides by nothing; --stream-decim must accept it)."""
+    import jax.numpy as jnp
+    from esp32_fluid_simulation_tpu.render.upscale import decimate_mean
+    rng = np.random.default_rng(5)
+    x = rng.random((3, 61, 81)).astype(np.float32)
+    got = np.asarray(decimate_mean(jnp.asarray(x), 2))
+    assert got.shape == (3, 30, 40)
+    want = x[:, :60, :80].reshape(3, 30, 2, 40, 2).mean(axis=(2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # d=3 on 1000-ish odd dims
+    y = rng.random((3, 10, 7)).astype(np.float32)
+    got3 = np.asarray(decimate_mean(jnp.asarray(y), 3))
+    assert got3.shape == (3, 3, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decimate_mean(jnp.asarray(y), 11)

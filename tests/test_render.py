@@ -143,3 +143,8 @@ def test_render_smoke_mip_pallas_bit_equal(rng, monkeypatch):
             got = np.asarray(render_smoke_mip_pallas(rho, bswap=bswap,
                                                      tile_h=16, tile_w=128))
             np.testing.assert_array_equal(got, want)
+        # the DEFAULT tile args (the production dispatch from render_smoke):
+        # tile_h rounds up to the uint16/bf16 (16, 128) packing
+        got_d = np.asarray(render_smoke_mip_pallas(rho))
+        want_d = np.asarray(sm.render_smoke(rho, mode="mip", fmt="rgb565"))
+        np.testing.assert_array_equal(got_d, want_d)
